@@ -1,0 +1,89 @@
+"""Benchmark: training throughput on real TPU hardware, audio-seconds/s/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Config matches the only reference configuration with a published single-GPU
+wall-clock: res2net50_w8_s6_c16, 80-d FBANK, 200-frame (2 s) crops, effective
+batch 1024 (bs 256 x accum 4), sc_cm_linear 5994 classes -- trained in 52 h
+for 122,636 steps on 1x RTX 4090 (reference README.md:45,131), i.e.
+
+    122636 steps * 1024 samples * 2 s / 52 h = 1341.5 audio-s/s per GPU.
+
+vs_baseline = our audio-s/s per TPU chip / 1341.5.
+"""
+
+import json
+import sys
+import time
+
+BASELINE_AUDIO_S_PER_S = 122_636 * 1024 * 2.0 / (52 * 3600)  # = 1341.5
+
+
+def main():
+    import os
+    import jax
+    import jax.numpy as jnp
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    from voxsrc2020_speaker_verification_tpu.training import (
+        TrainConfig, create_train_state, make_train_step,
+    )
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
+          file=sys.stderr)
+
+    config = TrainConfig(
+        model="res2net50_w8_s6_c16",
+        projection="sc_cm_linear",
+        num_classes=5994,
+        dataset_length=5_460_045,
+        feat_dim=80,
+        feat_length=200,
+        batch_size=256,
+        num_accumulation_steps=4,
+        total_epochs=23,
+        bf16=True,
+    )
+
+    state = create_train_state(config, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(config), donate_argnums=0)
+
+    a, b = config.num_accumulation_steps, config.batch_size
+    feats = jax.random.normal(
+        jax.random.PRNGKey(1), (a, b, config.feat_length, config.feat_dim),
+        jnp.float32,
+    )
+    labels = jax.random.randint(jax.random.PRNGKey(2), (a, b), 0, config.num_classes)
+    rng = jax.random.PRNGKey(3)
+
+    # Warmup (compile + first steps).  NB: on the axon TPU tunnel,
+    # block_until_ready returns immediately on remote futures -- only a value
+    # fetch truly synchronizes, so warmup and timing both end with float().
+    for _ in range(3):
+        state, metrics = step(state, feats, labels, rng)
+    _ = float(metrics["loss"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, feats, labels, rng)
+    _ = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    steps_per_s = iters / dt
+    audio_s_per_s = steps_per_s * config.effective_batch * (config.feat_length / 100.0)
+
+    print(json.dumps({
+        "metric": "train_throughput_res2net50_w8_s6_c16",
+        "value": round(audio_s_per_s, 1),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(audio_s_per_s / BASELINE_AUDIO_S_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

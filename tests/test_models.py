@@ -1,0 +1,106 @@
+"""Model zoo: parameter-count parity with the reference README tables,
+forward shapes, and masked-pooling equivalence for padded batched extraction."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voxsrc2020_speaker_verification_tpu.models import get_model, MODEL_NAMES
+
+
+def count_params(model, feat_dim, t=64):
+    shapes = jax.eval_shape(
+        lambda k, x: model.init(k, x, False),
+        jax.random.PRNGKey(0), jnp.zeros((1, t, feat_dim)),
+    )
+    # Count params + BN moving stats: the reference README's "params" column
+    # counts TF checkpoint variables, which include the (non-trainable)
+    # moving mean/variance of every affine-free BN.
+    return sum(np.prod(x.shape) for x in jax.tree.leaves(shapes))
+
+
+# (model, feat_dim) -> params in millions, from the reference README tables
+# (README.md:182-185 for 40-d tdnn/dpn; README.md:236-278 for 80-d res2nets).
+EXPECTED_PARAMS_M = {
+    ("tdnn", 40): 3.5,
+    ("dpn68", 40): 13.9,
+    ("res2net50_w24_s4_c64", 80): 32.2,
+    ("res2net50_w24_s4_c32", 80): 17.7,
+    ("res2net50_w8_s6_c16", 80): 4.8,
+    ("res2net101_w24_s4_c32_att", 80): 29.3,
+    # NOTE: the reference README lists 32.9M / 35.5M for res2net152/200, but
+    # those numbers are inconsistent with the reference *code*
+    # (res2net_model.py:270-280): 101->152 adds 4 stage-2 + 13 stage-3 blocks,
+    # and one stage-3 block alone costs ~0.64M (split kernel 27*96^2 etc.), so
+    # +3.6M is impossible.  The values below are the analytic counts derived
+    # from the code (which our implementation reproduces for every config the
+    # README counts consistently, incl. 101_att at 29.3M).
+    ("res2net152_w24_s4_c32_att", 80): 38.31,
+    ("res2net200_w24_s4_c32_att", 80): 40.90,
+}
+
+
+@pytest.mark.parametrize("name,feat_dim", list(EXPECTED_PARAMS_M))
+def test_param_counts_match_reference(name, feat_dim):
+    n = count_params(get_model(name), feat_dim)
+    expected = EXPECTED_PARAMS_M[(name, feat_dim)]
+    assert abs(n / 1e6 - expected) < 0.11, (name, n)
+
+
+@pytest.mark.parametrize("name", ["tdnn", "res2net50_w8_s6_c16", "dpn68"])
+def test_forward_shape_and_finite(name):
+    model = get_model(name)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 40))
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    out = model.apply(variables, x, False)
+    expected_dim = 192 if name == "res2net50_w8_s6_c16" else 256
+    assert out.shape == (2, expected_dim)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("name", ["tdnn", "res2net50_w8_s6_c16", "dpn68"])
+def test_masked_padded_forward_matches_exact(name):
+    """A zero-padded utterance with a validity mask must produce the same
+    embedding as the exact-length utterance (replaces the reference's batch-1
+    dynamic shapes, tf_extract.py:96-111).  BN running stats are perturbed to
+    non-trivial values so BN(0) != 0 -- the hard case for pad masking."""
+    model = get_model(name)
+    t_valid, t_pad = 100, 128
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, t_valid, 40))
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    perturbed = jax.tree_util.tree_map_with_path(
+        lambda path, v: v + 0.3 if "mean" in str(path[-1]) else v * 1.7,
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": perturbed}
+
+    exact = model.apply(variables, x, False)
+
+    padded = jnp.zeros((1, t_pad, 40)).at[:, :t_valid].set(x)
+    mask = (jnp.arange(t_pad) < t_valid)[None, :].astype(jnp.float32)
+    masked = model.apply(variables, padded, False, mask)
+
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(masked),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_training_mode_updates_batch_stats():
+    model = get_model("tdnn")
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 40))
+    variables = model.init(jax.random.PRNGKey(0), x, True)
+    out, mutated = model.apply(variables, x, True, mutable=["batch_stats"])
+    assert out.shape == (4, 256)
+    old = jax.tree.leaves(variables["batch_stats"])
+    new = jax.tree.leaves(mutated["batch_stats"])
+    assert any(not np.allclose(o, n) for o, n in zip(old, new))
+
+
+def test_all_models_buildable():
+    for name in MODEL_NAMES:
+        m = get_model(name)
+        shapes = jax.eval_shape(
+            lambda k, x, m=m: m.init(k, x, False),
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 80)),
+        )
+        assert "params" in shapes

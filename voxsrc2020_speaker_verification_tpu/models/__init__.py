@@ -1,0 +1,24 @@
+"""Speaker-embedding model zoo: TDNN, Res2Net family, DPN.
+
+``get_model(name)`` resolves the same model ids the reference recipes pass as
+``model_id`` (ref run_*.sh; tf_train_tdnn.py:146 importlib resolution).
+"""
+
+from __future__ import annotations
+
+from .tdnn import Tdnn, tdnn
+from .res2net import Res2Net, Res2NetConfig, RES2NET_CONFIGS, res2net
+from .dpn import Dpn, DpnConfig, DPN_CONFIGS, dpn
+
+MODEL_NAMES = ("tdnn",) + tuple(RES2NET_CONFIGS) + tuple(DPN_CONFIGS)
+
+
+def get_model(name: str, dtype=None):
+    """Build a model by recipe id. dtype is the compute dtype (bf16 for train)."""
+    if name == "tdnn":
+        return tdnn(dtype=dtype)
+    if name in RES2NET_CONFIGS:
+        return res2net(name, dtype=dtype)
+    if name in DPN_CONFIGS:
+        return dpn(name, dtype=dtype)
+    raise ValueError(f"unknown model {name!r}; available: {MODEL_NAMES}")

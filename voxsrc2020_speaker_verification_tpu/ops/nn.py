@@ -1,0 +1,378 @@
+"""NN primitives for the speaker-verification model zoo.
+
+Behavioral contract follows the reference primitive library
+(/root/reference/tensorflow/models/models.py):
+
+* ``conv2d``            -- bias-free NHWC conv, grouped via kernel shape
+                           [kh, kw, in/groups, out], variance-scaling init
+                           (models.py:173-203).
+* ``BatchNorm``         -- affine-free (center=False, scale=False), momentum
+                           0.997, eps 1e-5 (models.py:62-67).
+* ``fixed_padding``     -- explicit (k-1)//2 / rest padding for strided convs
+                           (models.py:107-152).
+* ``stats_pool``        -- mean || sqrt(var + 1e-5) over the time axis
+                           (models.py:262-269), extended here with an optional
+                           frame-validity mask for padded/batched extraction.
+* ``att_stats_pool``    -- 2-layer 1x1-conv tanh attention over [x; mu; sigma],
+                           softmax over time, weighted mean/std
+                           (models.py:273-303), also mask-aware.
+* ``dense``             -- bias-free (models.py:306-309).
+* ``squeeze_excitation``-- models.py:313-326.
+* ``gelu``/``mish``     -- models.py:58-59, tdnn_model.py:89-90.
+* ``layer_norm``        -- parameterless, eps 1e-5 (models.py:84-104).
+
+TPU-first design notes:
+  - All activations flow NHWC; convs lower to XLA ``conv_general_dilated``
+    which tiles onto the MXU.  Params are fp32, compute dtype is configurable
+    (bf16 by default in training).
+  - Pooling statistics are always computed in fp32: the time reduction over
+    hundreds of frames is precision-critical and cheap.
+  - Masked pooling replaces the reference's batch-1 dynamic-shape inference
+    (tf_extract.py:96-111) with static padded batches -- no recompiles.
+  - Every kernel param is named ``kernel`` so the l2 regularization sweep in
+    training (ref models.py:26-55, scale 1e-3) can address them uniformly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as fnn
+
+Dtype = Any
+
+BN_MOMENTUM = 0.997
+BN_EPSILON = 1e-5
+POOL_EPSILON = 1e-5
+DEFAULT_L2 = 1e-3
+
+# Variance-scaling initializer matching TF1's default
+# (scale=1.0, mode='fan_in', distribution='truncated_normal').
+conv_kernel_init = jax.nn.initializers.variance_scaling(
+    1.0, "fan_in", "truncated_normal"
+)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    """Exact (erf-based) GELU (ref models.py:58-59)."""
+    return x * 0.5 * (1.0 + jax.lax.erf(x / jnp.sqrt(2.0).astype(x.dtype)))
+
+
+def mish(x: jax.Array) -> jax.Array:
+    """Mish activation (ref tdnn_model.py:89-90)."""
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def layer_norm(x: jax.Array, axes: Sequence[int] = (-1,)) -> jax.Array:
+    """Parameterless layer norm, eps 1e-5 (ref models.py:84-104)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=tuple(axes), keepdims=True)
+    var = jnp.var(x32, axis=tuple(axes), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + BN_EPSILON)).astype(x.dtype)
+
+
+def _pad_amounts(kernel_size: Union[int, Tuple[int, int]]) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    if isinstance(kernel_size, int):
+        kh = kw = kernel_size
+    else:
+        kh, kw = kernel_size
+    ph, pw = kh - 1, kw - 1
+    return (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2)
+
+
+def fixed_padding(x: jax.Array, kernel_size: Union[int, Tuple[int, int]]) -> jax.Array:
+    """Explicit symmetric padding, NHWC (ref models.py:107-152)."""
+    (hb, he), (wb, we) = _pad_amounts(kernel_size)
+    return jnp.pad(x, [(0, 0), (hb, he), (wb, we), (0, 0)])
+
+
+class BatchNorm(fnn.Module):
+    """Affine-free batch norm: momentum 0.997, eps 1e-5 (ref models.py:62-67).
+
+    Running statistics live in the ``batch_stats`` collection.  Under pjit
+    the batch statistics are computed over the *global* (sharded) batch --
+    i.e. sync-BN across the data axis -- which replaces the reference's
+    per-replica BN (SURVEY.md section 2.4).  Set ``axis_name`` only when
+    running under shard_map/pmap where XLA cannot see the full batch.
+    """
+
+    use_running_average: bool = False
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPSILON
+    dtype: Optional[Dtype] = None
+    axis_name: Optional[str] = None
+
+    @fnn.compact
+    def __call__(self, x: jax.Array, use_running_average: Optional[bool] = None) -> jax.Array:
+        ura = self.use_running_average if use_running_average is None else use_running_average
+        return fnn.BatchNorm(
+            use_running_average=ura,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            use_bias=False,
+            use_scale=False,
+            dtype=self.dtype,
+            axis_name=self.axis_name,
+            name="bn",
+        )(x)
+
+
+class Conv2d(fnn.Module):
+    """Bias-free NHWC conv with grouped-conv support (ref models.py:173-203).
+
+    ``cardinality`` maps to XLA ``feature_group_count``; the kernel has shape
+    [kh, kw, in_channels // cardinality, out_channels], identical to the
+    reference's TF layout, so checkpoints port one-to-one.
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 1
+    strides: Union[int, Tuple[int, int]] = 1
+    padding: Union[str, Sequence[Tuple[int, int]]] = "SAME"
+    dilation: Union[int, Tuple[int, int]] = 1
+    cardinality: int = 1
+    dtype: Optional[Dtype] = None
+
+    @fnn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ks = (self.kernel_size,) * 2 if isinstance(self.kernel_size, int) else tuple(self.kernel_size)
+        st = (self.strides,) * 2 if isinstance(self.strides, int) else tuple(self.strides)
+        dl = (self.dilation,) * 2 if isinstance(self.dilation, int) else tuple(self.dilation)
+        return fnn.Conv(
+            features=self.features,
+            kernel_size=ks,
+            strides=st,
+            padding=self.padding,
+            kernel_dilation=dl,
+            feature_group_count=self.cardinality,
+            use_bias=False,
+            kernel_init=conv_kernel_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class ConvFixedPadding(fnn.Module):
+    """Strided conv with explicit fixed padding (ref models.py:155-168).
+
+    stride==1 -> SAME padding; stride>1 -> fixed_padding then VALID.  For odd
+    kernels at stride 1 these coincide; at stride>1 the output-position
+    anchoring differs from SAME, matching the reference exactly.
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]]
+    strides: Union[int, Tuple[int, int]] = 1
+    cardinality: int = 1
+    dtype: Optional[Dtype] = None
+
+    @fnn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        st = (self.strides,) * 2 if isinstance(self.strides, int) else tuple(self.strides)
+        strided = any(s > 1 for s in st)
+        if strided:
+            x = fixed_padding(x, self.kernel_size)
+        return Conv2d(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=st,
+            padding="VALID" if strided else "SAME",
+            cardinality=self.cardinality,
+            dtype=self.dtype,
+            name="conv2d",
+        )(x)
+
+
+class Dense(fnn.Module):
+    """Bias-free dense with variance-scaling init (ref models.py:306-309)."""
+
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @fnn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return fnn.Dense(
+            features=self.features,
+            use_bias=False,
+            kernel_init=conv_kernel_init,
+            dtype=self.dtype,
+            name="dense",
+        )(x)
+
+
+class SqueezeExcitation(fnn.Module):
+    """Squeeze-and-excitation over (H, W) (ref models.py:313-326)."""
+
+    ratio: int = 16
+    dtype: Optional[Dtype] = None
+
+    @fnn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        channels = x.shape[-1]
+        assert channels % self.ratio == 0
+        scale = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(x.dtype)
+        scale = Conv2d(channels // self.ratio, 1, dtype=self.dtype, name="squeeze")(scale)
+        scale = jax.nn.relu(scale)
+        scale = Conv2d(channels, 1, dtype=self.dtype, name="excite")(scale)
+        scale = jax.nn.sigmoid(scale)
+        return scale * x
+
+
+def _masked_moments(
+    x: jax.Array, mask: Optional[jax.Array], axis: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Mean/variance over ``axis``, optionally restricted to mask==1 frames.
+
+    x: (..., T, ..., C) fp32; mask: broadcastable 0/1 over the time axis.
+    """
+    if mask is None:
+        mean = jnp.mean(x, axis=axis, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=axis, keepdims=True)
+        return mean, var
+    denom = jnp.maximum(jnp.sum(mask, axis=axis, keepdims=True), 1.0)
+    mean = jnp.sum(x * mask, axis=axis, keepdims=True) / denom
+    var = jnp.sum(jnp.square(x - mean) * mask, axis=axis, keepdims=True) / denom
+    return mean, var
+
+
+def _time_mask_for(x: jax.Array, mask: Optional[jax.Array]) -> Optional[jax.Array]:
+    """Broadcast a (B, T) validity mask to x's NHWC rank (time = axis 1)."""
+    if mask is None:
+        return None
+    return mask.astype(jnp.float32)[:, :, None, None]
+
+
+def mask_time(x: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
+    """Zero out invalid time positions of an NHWC tensor.
+
+    Applied after every block when a validity mask is present, this makes a
+    zero-padded batched forward *bit-identical* to the exact-length forward:
+    the zeros a conv would have seen from SAME/fixed padding at the true
+    utterance boundary are exactly what the mask re-imposes, so no padding
+    garbage can bleed through multi-layer receptive fields.
+    """
+    if mask is None:
+        return x
+    m = mask[:, : x.shape[1]].astype(x.dtype)
+    return x * m[:, :, None, None]
+
+
+def downsample_mask(mask: Optional[jax.Array], strides: int, t_out: int) -> Optional[jax.Array]:
+    """Track a (B, T) validity mask through a stride-`s` conv: output position
+    j is anchored at input position s*j, so keep every s-th flag."""
+    if mask is None or strides == 1:
+        return None if mask is None else mask[:, :t_out]
+    return mask[:, ::strides][:, :t_out]
+
+
+def stats_pool(x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+    """Statistics pooling over time (NHWC axis 1): mean || sqrt(var + eps).
+
+    Output shape (B, 1, W, 2C) as in ref models.py:262-269.  ``mask`` is an
+    optional (B, T) 0/1 validity mask for padded batched extraction.
+    """
+    x32 = x.astype(jnp.float32)
+    m = _time_mask_for(x, mask)
+    mean, var = _masked_moments(x32, m, axis=1)
+    out = jnp.concatenate([mean, jnp.sqrt(var + POOL_EPSILON)], axis=3)
+    return out.astype(x.dtype)
+
+
+class AttStatsPool(fnn.Module):
+    """Attentive statistics pooling (ref models.py:273-303).
+
+    attention = softmax_over_time(conv1x1_C(tanh(conv1x1_128([x; mu; sigma]))))
+    output    = weighted_mean || weighted_std, shape (B, 1, W, 2C).
+    """
+
+    att_dim: int = 128
+    att_with_mean_std: bool = True
+    dtype: Optional[Dtype] = None
+
+    @fnn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        channels = x.shape[-1]
+        t = x.shape[1]
+        x32 = x.astype(jnp.float32)
+        m = _time_mask_for(x, mask)
+
+        if self.att_with_mean_std:
+            mean, var = _masked_moments(x32, m, axis=1)
+            mean_std = jnp.concatenate([mean, jnp.sqrt(var + POOL_EPSILON)], axis=3)
+            mean_std = jnp.broadcast_to(
+                mean_std, (x.shape[0], t, x.shape[2], 2 * channels)
+            )
+            att_in = jnp.concatenate([x, mean_std.astype(x.dtype)], axis=3)
+        else:
+            att_in = x
+
+        scores = Conv2d(self.att_dim, 1, dtype=self.dtype, name="att_conv1")(att_in)
+        scores = jnp.tanh(scores)
+        scores = Conv2d(channels, 1, dtype=self.dtype, name="att_conv2")(scores)
+        scores = scores.astype(jnp.float32)
+        if m is not None:
+            scores = jnp.where(m > 0, scores, -1e30)
+        weights = jax.nn.softmax(scores, axis=1)
+
+        wmean = jnp.sum(x32 * weights, axis=1, keepdims=True)
+        wsq = jnp.sum(x32 * x32 * weights, axis=1, keepdims=True)
+        wstd = jnp.sqrt(jnp.maximum(wsq - wmean * wmean, 0.0) + POOL_EPSILON)
+        return jnp.concatenate([wmean, wstd], axis=3).astype(x.dtype)
+
+
+class EmbeddingHead(fnn.Module):
+    """Pool -> flatten -> BN -> dense(output_dim) -> BN (ref tdnn_model.py:142-153,
+    res2net_model.py:229-242, dpn_model.py:151-167).
+
+    The flatten keeps the (downsampled) frequency axis, so the dense input dim
+    is freq_out * 2*channels -- a deliberate reference quirk we preserve.
+    """
+
+    output_dim: int
+    pool: str = "stats"  # "stats" | "att_stats"
+    dtype: Optional[Dtype] = None
+
+    @fnn.compact
+    def __call__(
+        self, x: jax.Array, training: bool, mask: Optional[jax.Array] = None
+    ) -> jax.Array:
+        if self.pool == "stats":
+            x = stats_pool(x, mask)
+        elif self.pool == "att_stats":
+            x = AttStatsPool(dtype=self.dtype, name="att_stats_pool")(x, mask)
+        else:
+            raise ValueError(f"unknown pool {self.pool}")
+        x = x.reshape((x.shape[0], -1))
+        x = BatchNorm(use_running_average=not training, dtype=self.dtype, name="pre_bn")(x)
+        x = Dense(self.output_dim, dtype=self.dtype, name="embedding")(x)
+        x = BatchNorm(use_running_average=not training, dtype=self.dtype, name="post_bn")(x)
+        return x
+
+
+def avg_pool_3x3(x: jax.Array, strides: int) -> jax.Array:
+    """3x3 VALID average pool; pads are materialized zeros included in the
+    mean, matching ref res2net_model.py:77 after fixed_padding.
+
+    Implemented as 9 strided-slice adds (not lax.reduce_window, whose
+    reverse-mode AD is unsupported under some pjit configurations); XLA fuses
+    this into a single VPU loop.
+    """
+    _, h, w, _ = x.shape
+    oh = (h - 3) // strides + 1
+    ow = (w - 3) // strides + 1
+    total = None
+    for di in range(3):
+        for dj in range(3):
+            piece = x[:, di: di + (oh - 1) * strides + 1: strides,
+                      dj: dj + (ow - 1) * strides + 1: strides, :]
+            total = piece if total is None else total + piece
+    return total / jnp.asarray(9.0, x.dtype)
+
+
+ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
+    "relu": jax.nn.relu,
+    "gelu": gelu,
+    "mish": mish,
+}

@@ -1,0 +1,85 @@
+"""Typed training configuration.
+
+One dataclass replaces the reference's three config tiers (global_config.sh,
+24 positional shell args of run_tf_train_local.sh:47-70, per-recipe constants)
+and derives the same experiment naming scheme
+(``exp/<dataset>/<model>_<loss>_frames<N>_scale<S>_margin<M>_<G>chips``,
+ref run_res2net_local_vox2_dev_aug.sh:40).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from ..losses.schedules import base_learning_rate
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    # model / loss
+    model: str = "res2net50_w24_s4_c32"
+    projection: str = "sc_cm_linear"
+    num_classes: int = 5994
+    num_centers: int = 2
+    scale: float = 32.0
+    margin: float = 0.2
+
+    # data
+    dataset: str = "voxceleb2_dev_aug"
+    dataset_length: int = 5_460_045
+    feat_dim: int = 80
+    feat_length: int = 200
+
+    # optimization (effective global batch = batch_size * num_accumulation_steps)
+    batch_size: int = 256            # global per-microbatch (ref: 32 x 8 ranks)
+    num_accumulation_steps: int = 4
+    total_epochs: int = 23
+    momentum: float = 0.9
+    clip_norm: float = 1.0
+    l2_scale: float = 1e-3
+    base_lr: Optional[float] = None  # default: 0.08/128 * effective batch
+    lr_boundaries_epochs: tuple = (3, 13, 23)
+    margin_boundaries_epochs: tuple = (3, 13)
+    decay_rate: float = 0.5
+
+    # precision / regularization
+    bf16: bool = True
+    specaug: bool = False
+
+    # parallelism
+    num_model_shards: int = 1
+
+    # io
+    exp_root: str = "exp"
+    seed: int = 0
+
+    @property
+    def effective_batch(self) -> int:
+        return self.batch_size * self.num_accumulation_steps
+
+    @property
+    def epoch_size(self) -> int:
+        """Optimizer steps per epoch (ref tf_train_tdnn.py:150,172)."""
+        return self.dataset_length // self.effective_batch
+
+    @property
+    def total_steps(self) -> int:
+        return self.epoch_size * self.total_epochs
+
+    @property
+    def learning_rate(self) -> float:
+        if self.base_lr is not None:
+            return self.base_lr
+        return base_learning_rate(self.effective_batch)
+
+    @property
+    def exp_name(self) -> str:
+        return (
+            f"{self.model}_{self.projection}_frames{self.feat_length}"
+            f"_scale{self.scale:g}_margin{self.margin:g}"
+        )
+
+    @property
+    def exp_dir(self) -> str:
+        return f"{self.exp_root}/{self.dataset}/{self.exp_name}"
