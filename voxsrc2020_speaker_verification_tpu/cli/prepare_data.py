@@ -1,0 +1,184 @@
+"""Data preparation pipeline (stage-gated like the reference prepare_data.sh).
+
+    python -m voxsrc2020_speaker_verification_tpu.cli.prepare_data \
+        --stage 2 --wav-root /corpora/voxceleb2/dev/wav \
+        --dataset voxceleb2_dev --data-root data --feat-dim 80
+
+Stages (mirroring /root/reference/prepare_data.sh:184-267):
+  1  download + md5 verification manifest check (requires network; the
+     manifest mirrors the reference's md5sum_vox.txt)
+  2  create dataset dir from a wav tree (wav.scp/utt2spk/spk2utt/utt2dur)
+  3  m4a -> 16 kHz mono wav via ffmpeg (VoxCeleb2; xargs-parallel equivalent)
+  4  FBANK extraction on the accelerator + finalize (spk/utt2id/shards)
+  5  MUSAN prep + 5x augmentation (reverb/noise/music/babble JSON specs)
+     + FBANK extraction for the _aug dir
+
+Utterance/speaker naming follows the reference convention: utt = relative
+wav path with '/' -> '-', speaker = first path component
+(prepare_data.sh:50-55).
+"""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures as cf
+import glob
+import hashlib
+import os
+import sys
+
+from ..data import audio
+from ..utils import datadir
+
+
+def create_dataset(wav_root: str, data_dir: str, with_dur: bool = True) -> None:
+    """wav tree -> data dir (ref prepare_data.sh:31-63 create_dataset)."""
+    wav_root = os.path.abspath(wav_root)
+    paths = sorted(
+        glob.glob(os.path.join(wav_root, "**", "*.wav"), recursive=True)
+    )
+    wav, utt2spk = {}, {}
+    for p in paths:
+        rel = os.path.relpath(p, wav_root)
+        utt = rel.replace(os.sep, "-")[: -len(".wav")]
+        wav[utt] = p
+        utt2spk[utt] = rel.split(os.sep)[0]
+    os.makedirs(data_dir, exist_ok=True)
+    datadir.write_two_column(os.path.join(data_dir, "wav.scp"), wav)
+    datadir.write_two_column(os.path.join(data_dir, "utt2spk"), utt2spk)
+    datadir.write_spk2utt(
+        os.path.join(data_dir, "spk2utt"), datadir.utt2spk_to_spk2utt(utt2spk)
+    )
+    if with_dur:
+        with cf.ThreadPoolExecutor(max_workers=16) as pool:
+            durs = list(pool.map(audio.wav_duration, [wav[u] for u in sorted(wav)]))
+        datadir.write_two_column(
+            os.path.join(data_dir, "utt2dur"),
+            {u: f"{d:.3f}" for u, d in zip(sorted(wav), durs)},
+        )
+
+
+def convert_m4a(root: str, workers: int = 0) -> int:
+    """Transcode every .m4a under root to .wav alongside it
+    (ref prepare_data.sh:248-252)."""
+    files = glob.glob(os.path.join(root, "**", "*.m4a"), recursive=True)
+    workers = workers or (os.cpu_count() or 4)
+
+    def one(src):
+        dst = src[: -len(".m4a")] + ".wav"
+        if not os.path.exists(dst):
+            audio.ffmpeg_to_wav16k(src, dst)
+        return dst
+
+    with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(one, files))
+    return len(files)
+
+
+def verify_md5(manifest: str, root: str) -> list:
+    """Check downloaded archives against a 'md5 filename' manifest
+    (ref prepare_data.sh:199, md5sum_vox.txt). Returns mismatched names."""
+    bad = []
+    with open(manifest) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) != 2:
+                continue
+            want, name = parts
+            path = os.path.join(root, name)
+            if not os.path.exists(path):
+                bad.append(name + " (missing)")
+                continue
+            h = hashlib.md5()
+            with open(path, "rb") as g:
+                for chunk in iter(lambda: g.read(1 << 20), b""):
+                    h.update(chunk)
+            if h.hexdigest() != want:
+                bad.append(name)
+    return bad
+
+
+def augment_stage(data_root: str, dataset: str, musan_root: str,
+                  rirs_root: str, seed: int = 777) -> str:
+    """MUSAN prep + 5x augmentation dir (ref prepare_data.sh:89-148)."""
+    from ..data import augment, musan
+
+    data_dir = os.path.join(data_root, dataset)
+    musan_dirs = musan.make_musan_data_dirs(musan_root, data_root)
+
+    def rir_list(room):
+        pattern = os.path.join(
+            rirs_root, "simulated_rirs", room, "**", "*.wav"
+        )
+        return sorted(glob.glob(pattern, recursive=True))
+
+    out_dir = os.path.join(data_root, dataset + "_aug")
+    augment.augment_data_dir(
+        data_dir, out_dir,
+        rir_sets=[(0.5, rir_list("smallroom")), (0.5, rir_list("mediumroom"))],
+        musan_noise=musan.load_noise_durations(musan_dirs["noise"]),
+        musan_music=musan.load_noise_durations(musan_dirs["music"]),
+        musan_speech=musan.load_noise_durations(musan_dirs["speech"]),
+        seed=seed,
+    )
+    return out_dir
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--stage", type=int, required=True, choices=[1, 2, 3, 4, 5])
+    p.add_argument("--data-root", default="data")
+    p.add_argument("--dataset", default="voxceleb2_dev")
+    p.add_argument("--wav-root", default=None)
+    p.add_argument("--musan-root", default=None)
+    p.add_argument("--rirs-root", default=None)
+    p.add_argument("--archive-root", default=None)
+    p.add_argument("--md5-manifest", default=None)
+    p.add_argument("--feat-dim", type=int, default=80)
+    p.add_argument("--dither-seed", type=int, default=None)
+    p.add_argument("--num-shards", type=int, nargs="+", default=[8, 16, 32])
+    p.add_argument("--seed", type=int, default=777)
+    args = p.parse_args(argv)
+
+    data_dir = os.path.join(args.data_root, args.dataset)
+    if args.stage == 1:
+        assert args.md5_manifest and args.archive_root
+        bad = verify_md5(args.md5_manifest, args.archive_root)
+        if bad:
+            print("MD5 FAILURES:", *bad, sep="\n  ")
+            sys.exit(1)
+        print("all archives verified")
+    elif args.stage == 2:
+        assert args.wav_root
+        create_dataset(args.wav_root, data_dir)
+        problems = datadir.validate_data_dir(data_dir)
+        assert not problems, problems
+        print(f"created {data_dir}")
+    elif args.stage == 3:
+        assert args.wav_root
+        n = convert_m4a(args.wav_root)
+        print(f"converted {n} m4a files")
+    elif args.stage == 4:
+        from ..data.features import compute_features_for_dir, finalize_dataset
+        scp = compute_features_for_dir(
+            data_dir, args.feat_dim, dither_seed=args.dither_seed,
+            progress_every=1000,
+        )
+        finalize_dataset(data_dir, args.feat_dim, num_shards=args.num_shards)
+        print(f"features at {scp}")
+    elif args.stage == 5:
+        assert args.musan_root and args.rirs_root
+        from ..data.features import compute_features_for_dir, finalize_dataset
+        out_dir = augment_stage(args.data_root, args.dataset,
+                                args.musan_root, args.rirs_root, args.seed)
+        scp = compute_features_for_dir(
+            out_dir, args.feat_dim, dither_seed=args.dither_seed,
+            progress_every=1000,
+        )
+        finalize_dataset(out_dir, args.feat_dim, num_shards=args.num_shards)
+        print(f"augmented dataset at {out_dir}, features at {scp}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Train a speaker-embedding model.
+
+Replaces the reference's recipe shell + mpirun launcher + tf_train_tdnn.py
+(/root/reference/tensorflow/run_tf_train_local.sh:21-101, tf_train_tdnn.py:67-320)
+with one CLI over the recipe registry:
+
+    python -m voxsrc2020_speaker_verification_tpu.cli.train \
+        --recipe res2net_vox2_dev_aug --model res2net50_w24_s4_c32 \
+        --data-root ../data
+
+    # LMFT finetune (auto-resumes from the pretrain experiment dir):
+    python -m voxsrc2020_speaker_verification_tpu.cli.train \
+        --recipe res2net_finetune_vox2_dev --model res2net50_w24_s4_c32 \
+        --data-root ../data
+
+    # throughput check without data (ref get_batch_synthetic,
+    # tf_train_tdnn.py:59-64):
+    python -m voxsrc2020_speaker_verification_tpu.cli.train \
+        --recipe res2net_vox2_dev_aug --synthetic --max-steps 50
+
+Multi-host: run once per host with --coordinator/--process-id/--num-processes
+(jax.distributed); each host feeds its own contiguous block of scp shards
+(ref tf_train_tdnn.py:155-164).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+from ..recipes import RECIPES, get_recipe
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--recipe", required=True, choices=sorted(RECIPES))
+    p.add_argument("--model", default=None, help="model id override")
+    p.add_argument("--data-root", default="data")
+    p.add_argument("--exp-root", default="exp")
+    p.add_argument("--num-shards", type=int, default=32,
+                   help="which {N}-split scp sharding to read")
+    p.add_argument("--synthetic", action="store_true",
+                   help="random data, no IO (throughput benchmarking)")
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--no-checkpoint", action="store_true")
+    p.add_argument("--specaug", action="store_true")
+    p.add_argument("--num-model-shards", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    # config overrides
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--num-accumulation-steps", type=int, default=None)
+    p.add_argument("--total-epochs", type=int, default=None)
+    p.add_argument("--margin", type=float, default=None)
+    p.add_argument("--scale", type=float, default=None)
+    p.add_argument("--feat-length", type=int, default=None)
+    p.add_argument("--base-lr", type=float, default=None)
+    p.add_argument("--dataset", default=None,
+                   help="data dir name override (also sets num_classes/"
+                        "dataset_length from the dir when they differ)")
+    p.add_argument("--num-classes", type=int, default=None)
+    p.add_argument("--dataset-length", type=int, default=None)
+    # multi-host bootstrap (jax.distributed; ref: mpirun + hvd.init)
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0; enables jax.distributed")
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--num-processes", type=int, default=1)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    if args.coordinator:
+        import jax
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
+    overrides = {
+        k: v for k, v in {
+            "batch_size": args.batch_size,
+            "num_accumulation_steps": args.num_accumulation_steps,
+            "total_epochs": args.total_epochs,
+            "margin": args.margin,
+            "scale": args.scale,
+            "feat_length": args.feat_length,
+            "base_lr": args.base_lr,
+            "dataset": args.dataset,
+            "num_classes": args.num_classes,
+            "dataset_length": args.dataset_length,
+        }.items() if v is not None
+    }
+    overrides.update(
+        exp_root=args.exp_root, seed=args.seed,
+        specaug=args.specaug, num_model_shards=args.num_model_shards,
+    )
+    config, resume_from = get_recipe(args.recipe, model=args.model, **overrides)
+    if resume_from is not None:
+        resume_from = os.path.join(args.exp_root, *resume_from.split("/")[1:]) \
+            if resume_from.startswith("exp/") else resume_from
+
+    from ..data import BatchFeeder, FeatureShardDataset, SyntheticDataset
+    from ..data.dataset import shard_paths_for_host
+    from ..training.loop import fit
+    from ..utils.datadir import load_utt2id
+
+    if args.synthetic:
+        sources = [SyntheticDataset(config.feat_dim, config.feat_length,
+                                    config.num_classes, seed=i)
+                   for i in range(4)]
+    else:
+        data_dir = os.path.join(args.data_root, config.dataset)
+        utt2id = load_utt2id(os.path.join(data_dir, "utt2id.pkl"))
+        paths = shard_paths_for_host(
+            data_dir, args.num_shards, args.process_id, args.num_processes
+        )
+        sources = [
+            FeatureShardDataset(
+                p, utt2id, config.feat_dim, config.feat_length,
+                seed=args.seed + 1000 * args.process_id + i,
+            )
+            for i, p in enumerate(paths)
+        ]
+
+    feeder = BatchFeeder(
+        sources, config.batch_size, config.num_accumulation_steps
+    ).start()
+    try:
+        result = fit(
+            config, feeder,
+            resume_from=resume_from,
+            log_every=args.log_every,
+            max_steps=args.max_steps,
+            checkpoint=not args.no_checkpoint,
+        )
+        print(f"done: {result.steps_run} steps, "
+              f"{result.audio_seconds_per_second:.0f} audio-s/s")
+    finally:
+        feeder.stop()
+
+
+if __name__ == "__main__":
+    main()

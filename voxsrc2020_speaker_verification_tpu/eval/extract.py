@@ -1,0 +1,112 @@
+"""Embedding extraction: batched, bucketed, masked -- no dynamic shapes.
+
+Chunking semantics are reference-exact (tf_extract.py:96-111):
+
+    num_chunks = 1 + (T - 25) // 1000
+    chunk i    = frames [i*1000, i*1000 + len_i), len_i = 1000 or the tail
+    embedding  = sum_i emb_i * len_i / sum_i len_i
+
+(a tail shorter than 25 frames is dropped; an utterance shorter than 25
+frames would produce zero chunks in the reference -- we instead emit one
+full-length chunk so nothing is silently lost).
+
+TPU-first: the reference runs batch-1 with dynamic [None, None, F] shapes --
+a recompile-per-length disaster on XLA.  Here every chunk is padded up to a
+small set of static bucket lengths and batched; the models' masked pooling +
+per-block time masking make the padded forward *equal* to the exact-length
+forward (see ops.nn.mask_time, verified in tests/test_models.py), so parity
+is preserved while the MXU sees large static batches.
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+MAX_FRAMES = 1000  # ref tf_extract.py:96
+MIN_FRAMES = 25    # ref tf_extract.py:101-102
+
+
+def chunk_spans(t: int, max_frames: int = MAX_FRAMES, min_frames: int = MIN_FRAMES):
+    """[(start, length), ...] per the reference chunking rule."""
+    if t < min_frames:
+        return [(0, t)]
+    num_chunks = 1 + (t - min_frames) // max_frames
+    spans = []
+    for i in range(num_chunks):
+        start = i * max_frames
+        length = max_frames if (i + 1) * max_frames <= t else t - start
+        spans.append((start, length))
+    return spans
+
+
+def extract_embeddings(
+    embed_fn: Callable,
+    features: Iterable[Tuple[str, np.ndarray]],
+    batch_size: int = 32,
+    buckets: Sequence[int] = (256, 512, 1000),
+    max_frames: int = MAX_FRAMES,
+    min_frames: int = MIN_FRAMES,
+) -> Dict[str, np.ndarray]:
+    """Extract one embedding per utterance.
+
+    embed_fn(feats (B, T, F), mask (B, T)) -> (B, D); jitted per bucket shape
+    only (len(buckets) compiles total).
+    features: iterable of (utt, (T, F) CMVN'd features).
+    """
+    buckets = sorted(set(list(buckets) + [max_frames]))
+
+    # per-bucket pending batch: list of (utt, length, padded_feats)
+    pending: Dict[int, List[Tuple[str, int, np.ndarray]]] = {b: [] for b in buckets}
+    acc: Dict[str, Tuple[np.ndarray, float]] = {}
+
+    def flush(bucket: int):
+        batch = pending[bucket]
+        if not batch:
+            return
+        f = np.zeros((len(batch), bucket, batch[0][2].shape[1]), np.float32)
+        m = np.zeros((len(batch), bucket), np.float32)
+        for i, (_, length, feats) in enumerate(batch):
+            f[i, :length] = feats
+            m[i, :length] = 1.0
+        emb = np.asarray(embed_fn(f, m))
+        for i, (utt, length, _) in enumerate(batch):
+            s, w = acc.get(utt, (0.0, 0.0))
+            acc[utt] = (s + emb[i] * length, w + length)
+        pending[bucket] = []
+
+    for utt, feats in features:
+        for start, length in chunk_spans(len(feats), max_frames, min_frames):
+            bucket = buckets[bisect.bisect_left(buckets, min(length, max_frames))]
+            pending[bucket].append((utt, length, feats[start: start + length]))
+            if len(pending[bucket]) >= batch_size:
+                flush(bucket)
+    for b in buckets:
+        flush(b)
+
+    return {utt: (s / w).astype(np.float32) for utt, (s, w) in acc.items()}
+
+
+def make_bucketed_embed_fn(embed_fn: Callable, pad_batch: bool = True) -> Callable:
+    """Wrap a jitted embed fn so partial batches are padded to the full batch
+    size (one compile per (batch, bucket) pair instead of per remainder)."""
+    import functools
+
+    cache = {}
+
+    def wrapped(feats: np.ndarray, mask: np.ndarray):
+        b = feats.shape[0]
+        target = cache.setdefault("batch", b)
+        if pad_batch and b < target:
+            pad = target - b
+            feats = np.concatenate([feats, np.zeros((pad,) + feats.shape[1:], feats.dtype)])
+            # keep one valid frame in padded rows to avoid 0/0 in pooling
+            mask_pad = np.zeros((pad, mask.shape[1]), mask.dtype)
+            mask_pad[:, 0] = 1.0
+            mask = np.concatenate([mask, mask_pad])
+            return embed_fn(feats, mask)[:b]
+        return embed_fn(feats, mask)
+
+    return wrapped

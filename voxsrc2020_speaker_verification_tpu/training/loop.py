@@ -1,0 +1,133 @@
+"""Training loop orchestration: mesh + shardings + feeder + jitted step +
+per-epoch checkpoints + metric logging.
+
+Replaces the reference's MonitoredTrainingSession hot loop
+(/root/reference/tensorflow/tf_train_tdnn.py:296-317):
+
+* LoggingTensorHook every N optimizer steps -> `log_every` prints of
+  step/loss/reg-loss/accuracy/lr/margin (+ audio-s/s, the BASELINE metric)
+* StopAtStepHook(total_steps)              -> loop bound
+* per-epoch rank-0 checkpoints + resume    -> orbax CheckpointManager
+* feed_dict queue.get                      -> BatchFeeder (host threads) with
+  a single device_put of the whole (A, B, T, F) optimizer-step batch
+
+One jit-compiled function per optimizer step; donated state, sharded batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding
+
+from ..parallel.sharding import batch_spec, make_mesh, param_shardings
+from .checkpoint import restore_or_init
+from .config import TrainConfig
+from .trainer import TrainState, create_train_state, make_train_step
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: TrainState
+    steps_run: int
+    audio_seconds_per_second: float
+
+
+def fit(
+    config: TrainConfig,
+    batches: Iterable,
+    exp_dir: Optional[str] = None,
+    resume_from: Optional[str] = None,
+    log_every: int = 100,
+    log_fn: Callable[[str], None] = print,
+    max_steps: Optional[int] = None,
+    checkpoint: bool = True,
+    mesh=None,
+) -> FitResult:
+    """Train until `config.total_steps` (or `max_steps` more steps).
+
+    batches: iterable of (feats (A, B, T, F) np.float32, labels (A, B) np.int32)
+             -- e.g. a started BatchFeeder.
+    """
+    exp_dir = exp_dir or config.exp_dir
+    if mesh is None:
+        import math
+        n = jax.device_count()
+        num_model = config.num_model_shards
+        # data axis must divide the per-microbatch size; drop devices if not
+        num_data = math.gcd(n // num_model, config.batch_size)
+        devices = jax.devices()[: num_data * num_model]
+        mesh = make_mesh(num_data=num_data, num_model=num_model, devices=devices)
+
+    state = create_train_state(config, jax.random.PRNGKey(config.seed))
+    state_shardings = param_shardings(mesh, jax.eval_shape(lambda: state))
+    state = jax.device_put(state, state_shardings)
+
+    mgr = None
+    if checkpoint:
+        state, mgr = restore_or_init(
+            state, exp_dir, resume_from=resume_from,
+            max_to_keep=config.total_epochs + 1,
+        )
+
+    data_sharding = NamedSharding(mesh, batch_spec())
+    step_fn = jax.jit(
+        make_train_step(config),
+        in_shardings=(state_shardings, data_sharding, data_sharding, None),
+        out_shardings=(state_shardings, None),
+        donate_argnums=0,
+    )
+    rng = jax.random.PRNGKey(config.seed + 1)
+
+    start_step = int(state.step)
+    stop_step = config.total_steps
+    if max_steps is not None:
+        stop_step = min(stop_step, start_step + max_steps)
+    epoch_size = config.epoch_size
+    audio_s_per_step = config.effective_batch * config.feat_length / 100.0
+
+    it = iter(batches)
+    pending_metrics = None
+    t_log = time.perf_counter()
+    t_start = t_log
+    steps_run = 0
+    cur = start_step
+    while cur < stop_step:
+        feats, labels = next(it)
+        state, metrics = step_fn(state, np.asarray(feats), np.asarray(labels), rng)
+        cur += 1
+        steps_run += 1
+        pending_metrics = metrics
+
+        if log_every and (cur % log_every == 0 or cur == stop_step):
+            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            now = time.perf_counter()
+            done = log_every if cur % log_every == 0 else cur % log_every
+            rate = done / (now - t_log) * audio_s_per_step
+            t_log = now
+            log_fn(
+                f"step {cur}/{stop_step} loss {m['loss']:.4f} "
+                f"(ce {m['classification_loss']:.4f} reg {m['regularization_loss']:.4f}) "
+                f"acc {m['accuracy']:.4f} lr {m['learning_rate']:.6f} "
+                f"margin {m['margin']:.4f} gnorm {m['gradient_norm']:.2f} "
+                f"audio-s/s {rate:.0f}"
+            )
+        if mgr is not None and cur % epoch_size == 0:
+            mgr.save(state, step=cur)
+
+    if pending_metrics is not None:
+        jax.block_until_ready(pending_metrics)
+    elapsed = time.perf_counter() - t_start
+    if mgr is not None:
+        if cur % epoch_size != 0 and steps_run:
+            mgr.save(state, step=cur)
+        mgr.close()
+    return FitResult(
+        state=state,
+        steps_run=steps_run,
+        audio_seconds_per_second=steps_run * audio_s_per_step / max(elapsed, 1e-9),
+    )
