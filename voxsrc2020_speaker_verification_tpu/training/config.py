@@ -83,3 +83,19 @@ class TrainConfig:
     @property
     def exp_dir(self) -> str:
         return f"{self.exp_root}/{self.dataset}/{self.exp_name}"
+
+    def to_json(self, path: str) -> None:
+        import json
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+
+    @classmethod
+    def from_json(cls, path: str) -> "TrainConfig":
+        import json
+        with open(path) as f:
+            raw = json.load(f)
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{
+            k: (tuple(v) if isinstance(v, list) else v)
+            for k, v in raw.items() if k in names
+        })

@@ -69,6 +69,9 @@ def fit(
 
     mgr = None
     if checkpoint:
+        import os
+        os.makedirs(exp_dir, exist_ok=True)
+        config.to_json(os.path.join(exp_dir, "config.json"))
         state, mgr = restore_or_init(
             state, exp_dir, resume_from=resume_from,
             max_to_keep=config.total_epochs + 1,
