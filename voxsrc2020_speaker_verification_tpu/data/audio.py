@@ -27,6 +27,13 @@ def read_wav(path_or_bytes) -> Tuple[np.ndarray, int]:
     if isinstance(path_or_bytes, (bytes, bytearray)):
         fd = io.BytesIO(path_or_bytes)
     else:
+        # hot path: native C++ decoder (GIL released), Python wave fallback
+        from . import native
+        if native.available():
+            try:
+                return native.read_wav(path_or_bytes)
+            except IOError:
+                pass  # non-PCM16 or odd container: fall through
         fd = open(path_or_bytes, "rb")
     try:
         with wave.open(fd, "rb") as w:

@@ -256,10 +256,33 @@ def _iter_scp(file_or_fd) -> Iterator[Tuple[str, str]]:
             fd.close()
 
 
-def read_mat_scp(file_or_fd) -> Iterator[Tuple[str, np.ndarray]]:
+def _split_rxfile(rxfile: str):
+    """'path:offset' -> (path, offset) for plain-file scp entries, else None
+    (pipes and offset-less paths take the generic open_or_fd route)."""
+    if rxfile.endswith("|") or rxfile.startswith("|"):
+        return None
+    path, sep, off = rxfile.rpartition(":")
+    if sep and off.isdigit():
+        return path, int(off)
+    return None
+
+
+def read_mat_scp(file_or_fd, use_native: bool = True) -> Iterator[Tuple[str, np.ndarray]]:
+    """Iterate (key, matrix) over an scp.  Plain `path:offset` entries go
+    through the native C++ decoder (native/vox_io.cc) when it is available --
+    the feeder hot path; pipes and exotic rspecs fall back to Python."""
+    native_mod = None
+    if use_native:
+        from . import native as native_mod
+        if not native_mod.available():
+            native_mod = None
     for key, rxfile in _iter_scp(file_or_fd):
-        with open_or_fd(rxfile) as fd:
-            yield key, read_mat(fd)
+        split = _split_rxfile(rxfile) if native_mod else None
+        if split is not None:
+            yield key, native_mod.read_mat(split[0], split[1])
+        else:
+            with open_or_fd(rxfile) as fd:
+                yield key, read_mat(fd)
 
 
 def read_vec_flt_scp(file_or_fd) -> Iterator[Tuple[str, np.ndarray]]:
