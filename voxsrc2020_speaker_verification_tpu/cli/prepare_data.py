@@ -56,6 +56,20 @@ def create_dataset(wav_root: str, data_dir: str, with_dur: bool = True) -> None:
             os.path.join(data_dir, "utt2dur"),
             {u: f"{d:.3f}" for u, d in zip(sorted(wav), durs)},
         )
+    write_labels(data_dir)
+
+
+def write_labels(data_dir: str) -> None:
+    """spk list + utt2id.pkl (ref prepare_data.sh:76-81); needed up front by
+    the raw-audio training mode, re-run harmlessly by finalize_dataset."""
+    utt2spk = datadir.read_two_column(os.path.join(data_dir, "utt2spk"))
+    spks = sorted(set(utt2spk.values()))
+    with open(os.path.join(data_dir, "spk"), "w") as f:
+        f.write("\n".join(spks) + "\n")
+    datadir.save_utt2id(
+        os.path.join(data_dir, "utt2id.pkl"),
+        datadir.build_utt2id(utt2spk, spks),
+    )
 
 
 def convert_m4a(root: str, workers: int = 0) -> int:
@@ -121,6 +135,7 @@ def augment_stage(data_root: str, dataset: str, musan_root: str,
         musan_speech=musan.load_noise_durations(musan_dirs["speech"]),
         seed=seed,
     )
+    write_labels(out_dir)
     return out_dir
 
 

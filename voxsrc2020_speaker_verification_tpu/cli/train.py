@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="which {N}-split scp sharding to read")
     p.add_argument("--synthetic", action="store_true",
                    help="random data, no IO (throughput benchmarking)")
+    p.add_argument("--raw", action="store_true",
+                   help="raw-audio mode: stream wav.scp (specs rendered "
+                        "online), FBANK+CMVN on device -- no feature store")
+    p.add_argument("--num-workers", type=int, default=4,
+                   help="feeder threads (raw/feature modes)")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--no-checkpoint", action="store_true")
@@ -98,6 +103,7 @@ def main(argv=None) -> None:
     overrides.update(
         exp_root=args.exp_root, seed=args.seed,
         specaug=args.specaug, num_model_shards=args.num_model_shards,
+        raw_audio=args.raw,
     )
     config, resume_from = get_recipe(args.recipe, model=args.model, **overrides)
     if resume_from is not None:
@@ -113,6 +119,23 @@ def main(argv=None) -> None:
         sources = [SyntheticDataset(config.feat_dim, config.feat_length,
                                     config.num_classes, seed=i)
                    for i in range(4)]
+    elif args.raw:
+        from ..data.raw_dataset import RawAudioShardDataset
+        from ..ops.fbank import FbankConfig
+        data_dir = os.path.join(args.data_root, config.dataset)
+        utt2id = load_utt2id(os.path.join(data_dir, "utt2id.pkl"))
+        w = args.num_workers
+        sources = [
+            RawAudioShardDataset(
+                os.path.join(data_dir, "wav.scp"), utt2id, config.feat_length,
+                cfg=FbankConfig(num_bins=config.feat_dim),
+                context=config.cmn_context,
+                shard_index=args.process_id * w + i,
+                num_shards=args.num_processes * w,
+                seed=args.seed + 1000 * args.process_id + i,
+            )
+            for i in range(w)
+        ]
     else:
         data_dir = os.path.join(args.data_root, config.dataset)
         utt2id = load_utt2id(os.path.join(data_dir, "utt2id.pkl"))

@@ -176,7 +176,16 @@ class BatchFeeder:
                 labels.append(l)
             if self._stop.is_set():
                 return
-            fb = np.stack(feats).reshape(a, b, *feats[0].shape)
+            if isinstance(feats[0], tuple):
+                # raw-audio samples: tuple of per-field arrays/scalars
+                fb = tuple(
+                    np.stack([f[k] for f in feats]).reshape(
+                        a, b, *np.shape(feats[0][k])
+                    )
+                    for k in range(len(feats[0]))
+                )
+            else:
+                fb = np.stack(feats).reshape(a, b, *feats[0].shape)
             lb = np.asarray(labels, np.int32).reshape(a, b)
             while not self._stop.is_set():
                 try:

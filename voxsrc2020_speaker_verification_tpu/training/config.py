@@ -47,6 +47,14 @@ class TrainConfig:
     bf16: bool = True
     specaug: bool = False
 
+    # raw-audio mode: waveform crops in, FBANK+CMVN on device
+    # (ops/pipeline.py); dither matches the reference's offline
+    # compute-fbank-feats default of 1.0 (conf/fbank80.conf implies it)
+    raw_audio: bool = False
+    dither: float = 1.0
+    cmn_window: int = 300
+    cmn_context: int = 150
+
     # parallelism
     num_model_shards: int = 1
 

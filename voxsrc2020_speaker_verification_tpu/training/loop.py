@@ -101,7 +101,7 @@ def fit(
     cur = start_step
     while cur < stop_step:
         feats, labels = next(it)
-        state, metrics = step_fn(state, np.asarray(feats), np.asarray(labels), rng)
+        state, metrics = step_fn(state, feats, np.asarray(labels), rng)
         cur += 1
         steps_run += 1
         pending_metrics = metrics

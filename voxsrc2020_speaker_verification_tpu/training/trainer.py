@@ -99,14 +99,22 @@ def make_train_step(config: TrainConfig):
     epoch = config.epoch_size
     lr_bounds = [epoch * b for b in config.lr_boundaries_epochs]
     margin_bounds = [epoch * b for b in config.margin_boundaries_epochs]
+    if config.raw_audio:
+        from ..ops.fbank import FbankConfig
+        from ..ops.pipeline import waveform_to_features
+        fbank_cfg = FbankConfig(num_bins=config.feat_dim, dither=config.dither)
 
     def step_fn(
         state: TrainState,
-        features: jax.Array,
+        features,
         labels: jax.Array,
         rng: jax.Array,
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        assert features.ndim == 4 and labels.ndim == 2
+        # features: (A, B, T, F) precomputed, or in raw-audio mode the tuple
+        # (waves (A, B, S), num_samples, target_offset, pad_shift) each (A, B)
+        assert labels.ndim == 2
+        assert isinstance(features, tuple) if config.raw_audio \
+            else features.ndim == 4
         lr = schedules.warmup_constant_exponential_decay(
             config.learning_rate, state.step, lr_bounds, epoch,
             decay_rate=config.decay_rate,
@@ -116,6 +124,14 @@ def make_train_step(config: TrainConfig):
         )
 
         def loss_fn(params, batch_stats, feats, labs, key):
+            if config.raw_audio:
+                waves, ns, off, shift = feats
+                key, dkey = jax.random.split(key)
+                feats = waveform_to_features(
+                    waves, ns, off, shift, fbank_cfg, config.feat_length,
+                    window=config.cmn_window, context=config.cmn_context,
+                    dither_key=dkey if config.dither else None,
+                )
             if config.specaug:
                 feats = spec_augment(key, feats)
             (emb, logits), mutated = net.apply(
@@ -144,7 +160,7 @@ def make_train_step(config: TrainConfig):
         zeros = jax.tree.map(
             lambda p: jnp.zeros(p.shape, jnp.float32), state.params
         )
-        num_accum = features.shape[0]
+        num_accum = jax.tree.leaves(features)[0].shape[0]
         keys = jax.random.split(jax.random.fold_in(rng, state.step), num_accum)
         (gsum, batch_stats), (ces, accs) = jax.lax.scan(
             micro, (zeros, state.batch_stats), (features, labels, keys)
