@@ -68,10 +68,14 @@ def fit(
     state = jax.device_put(state, state_shardings)
 
     mgr = None
+    metrics_writer = None
     if checkpoint:
         import os
+
+        from ..utils.observability import MetricsWriter
         os.makedirs(exp_dir, exist_ok=True)
         config.to_json(os.path.join(exp_dir, "config.json"))
+        metrics_writer = MetricsWriter(exp_dir)
         state, mgr = restore_or_init(
             state, exp_dir, resume_from=resume_from,
             max_to_keep=config.total_epochs + 1,
@@ -119,6 +123,8 @@ def fit(
                 f"margin {m['margin']:.4f} gnorm {m['gradient_norm']:.2f} "
                 f"audio-s/s {rate:.0f}"
             )
+            if metrics_writer is not None:
+                metrics_writer.write(cur, m, audio_s_per_s=rate)
         if mgr is not None and cur % epoch_size == 0:
             mgr.save(state, step=cur)
 
@@ -129,6 +135,8 @@ def fit(
         if cur % epoch_size != 0 and steps_run:
             mgr.save(state, step=cur)
         mgr.close()
+    if metrics_writer is not None:
+        metrics_writer.close()
     return FitResult(
         state=state,
         steps_run=steps_run,
