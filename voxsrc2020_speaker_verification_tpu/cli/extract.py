@@ -38,6 +38,54 @@ def make_cmvn_embed_fn(embed_fn, window: int = 300):
     return fn
 
 
+def wave_feature_stream(
+    wav_scp: str,
+    feat_dim: int,
+    *,
+    batch_size: int = 16,
+    bucket_seconds=(4, 8, 16, 32, 64, 128),
+    sample_rate: int = 16000,
+):
+    """Stream (utt, (T, F) raw fbank features) straight from a wav.scp --
+    device-batched by audio-length bucket, no feature store.  CMVN is NOT
+    applied here (the embed wrapper does it on device with the true frame
+    count, preserving full-utterance window semantics)."""
+    import jax
+
+    from ..data.augment import load_utterance
+    from ..ops.fbank import FbankConfig, fbank, num_frames
+    from ..utils import datadir
+
+    cfg = FbankConfig(num_bins=feat_dim, dither=0.0)
+    jit_fbank = jax.jit(fbank, static_argnames=("cfg",))
+    buckets = [s * sample_rate for s in bucket_seconds]
+    pending = {b: [] for b in buckets}
+
+    def flush(bucket):
+        batch = pending[bucket]
+        if not batch:
+            return
+        waves = np.zeros((len(batch), bucket), np.float32)
+        for i, (_, w) in enumerate(batch):
+            waves[i, : len(w)] = w[:bucket]
+        feats = np.asarray(jit_fbank(waves, cfg))
+        for i, (utt, w) in enumerate(batch):
+            t = num_frames(min(len(w), bucket), cfg)
+            yield utt, feats[i, :t]
+        pending[bucket] = []
+
+    wav = datadir.read_two_column(wav_scp)
+    for utt in sorted(wav):
+        samples, sr = load_utterance(wav[utt])
+        assert sr == sample_rate, (utt, sr)
+        b = next((b for b in buckets if len(samples) <= b), buckets[-1])
+        pending[b].append((utt, samples.astype(np.float32)))
+        if len(pending[b]) >= batch_size:
+            yield from flush(b)
+    for b in buckets:
+        yield from flush(b)
+
+
 def extract_dataset(
     artifact_dir: str,
     data_dir: str,
@@ -47,9 +95,11 @@ def extract_dataset(
     batch_size: int = 32,
     cmn_window: int = 300,
     scp_name: str = None,
+    raw: bool = False,
     progress_every: int = 2000,
 ) -> str:
     """Extract embeddings for every utterance in a data dir -> ark/scp.
+    `raw` streams wav.scp with on-device FBANK instead of a feature scp.
     Returns the scp path."""
     from ..data import kaldi_io
     from ..eval.export import load_inference_artifact
@@ -58,12 +108,19 @@ def extract_dataset(
     config, embed = load_inference_artifact(artifact_dir)
     fn = make_bucketed_embed_fn(make_cmvn_embed_fn(embed, window=cmn_window))
 
-    scp = os.path.join(
-        data_dir, scp_name or feat_name or f"fbank{config.feat_dim}.scp"
-    )
+    if raw:
+        stream = wave_feature_stream(
+            os.path.join(data_dir, "wav.scp"), config.feat_dim,
+            batch_size=batch_size,
+        )
+    else:
+        scp = os.path.join(
+            data_dir, scp_name or feat_name or f"fbank{config.feat_dim}.scp"
+        )
+        stream = kaldi_io.read_mat_scp(scp)
 
     def feature_stream():
-        for i, (utt, feat) in enumerate(kaldi_io.read_mat_scp(scp)):
+        for i, (utt, feat) in enumerate(stream):
             if progress_every and i and i % progress_every == 0:
                 print(f"  extract: {i} utts")
             yield utt, feat
@@ -88,12 +145,14 @@ def main(argv=None) -> None:
                    help="feature scp filename (default fbank<feat_dim>.scp)")
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--cmn-window", type=int, default=300)
+    p.add_argument("--raw", action="store_true",
+                   help="stream wav.scp with on-device FBANK (no feature store)")
     args = p.parse_args(argv)
 
     scp = extract_dataset(
         args.artifact, args.data_dir, args.out,
         scp_name=args.scp_name, batch_size=args.batch_size,
-        cmn_window=args.cmn_window,
+        cmn_window=args.cmn_window, raw=args.raw,
     )
     print(f"embeddings at {scp}")
 

@@ -52,15 +52,29 @@ def frames_from_wave2d(wave2d: jax.Array, t: int, frame_shift: int,
 
 def _fbank_kernel(wave_ref, a_ref, b_ref, m_ref, out_ref, *,
                   frame_shift, frame_length, use_power, use_log, eps):
-    frames = frames_from_wave2d(
-        wave_ref[0, 0], T_TILE, frame_shift, frame_length
-    )
-    re = jnp.dot(frames, a_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, b_ref[:], preferred_element_type=jnp.float32)
+    # frames @ A decomposed into q shifted partial matmuls: lane-aligned for
+    # Mosaic (a concat of 160-wide slices into 480 lanes is not), and each
+    # (T_TILE, shift) @ (shift, bins) block tiles the MXU directly.
+    w = wave_ref[0, 0]
+    q = -(-frame_length // frame_shift)
+    re = jnp.zeros((T_TILE, a_ref.shape[1]), jnp.float32)
+    im = jnp.zeros((T_TILE, a_ref.shape[1]), jnp.float32)
+    for i in range(q):
+        rows = min(frame_length - i * frame_shift, frame_shift)
+        wi = w[i: i + T_TILE, :rows]
+        # HIGHEST: true fp32 MXU passes -- default precision drops to bf16
+        # on TPU and the re^2+im^2 cancellation amplifies it into the log
+        re += jnp.dot(wi, a_ref[i * frame_shift: i * frame_shift + rows],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        im += jnp.dot(wi, b_ref[i * frame_shift: i * frame_shift + rows],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     power = re * re + im * im
     if not use_power:
         power = jnp.sqrt(power)
-    mel = jnp.dot(power, m_ref[:], preferred_element_type=jnp.float32)
+    mel = jnp.dot(power, m_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     if use_log:
         mel = jnp.log(jnp.maximum(mel, eps))
     out_ref[0] = mel
