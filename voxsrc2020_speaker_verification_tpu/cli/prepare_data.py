@@ -5,8 +5,10 @@
         --dataset voxceleb2_dev --data-root data --feat-dim 80
 
 Stages (mirroring /root/reference/prepare_data.sh:184-267):
-  1  download + md5 verification manifest check (requires network; the
-     manifest mirrors the reference's md5sum_vox.txt)
+  0  parallel wget of corpus archives from a URL manifest
+     (ref download_vox.sh)
+  1  md5 verification of downloaded archives against a 'md5 filename'
+     manifest (the reference's md5sum_vox.txt works as input)
   2  create dataset dir from a wav tree (wav.scp/utt2spk/spk2utt/utt2dur)
   3  m4a -> 16 kHz mono wav via ffmpeg (VoxCeleb2; xargs-parallel equivalent)
   4  FBANK extraction on the accelerator + finalize (spk/utt2id/shards)
@@ -89,6 +91,30 @@ def convert_m4a(root: str, workers: int = 0) -> int:
     return len(files)
 
 
+def download_archives(url_manifest: str, out_root: str, workers: int = 4) -> int:
+    """Parallel wget of corpus archives (ref download_vox.sh:1-13).
+
+    url_manifest: one URL per line ('#' comments allowed); credentials, if
+    required by the host, belong in ~/.netrc.  Skips files already present.
+    """
+    import subprocess
+
+    os.makedirs(out_root, exist_ok=True)
+    with open(url_manifest) as f:
+        urls = [l.strip() for l in f if l.strip() and not l.startswith("#")]
+    todo = [u for u in urls
+            if not os.path.exists(os.path.join(out_root, os.path.basename(u)))]
+
+    def fetch(url):
+        subprocess.run(
+            ["wget", "-q", "-c", "-P", out_root, url], check=True
+        )
+
+    with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(fetch, todo))
+    return len(todo)
+
+
 def verify_md5(manifest: str, root: str) -> list:
     """Check downloaded archives against a 'md5 filename' manifest
     (ref prepare_data.sh:199, md5sum_vox.txt). Returns mismatched names."""
@@ -142,7 +168,9 @@ def augment_stage(data_root: str, dataset: str, musan_root: str,
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
-    p.add_argument("--stage", type=int, required=True, choices=[1, 2, 3, 4, 5])
+    p.add_argument("--stage", type=int, required=True, choices=[0, 1, 2, 3, 4, 5])
+    p.add_argument("--url-manifest", default=None,
+                   help="stage 0: file of archive URLs to wget")
     p.add_argument("--data-root", default="data")
     p.add_argument("--dataset", default="voxceleb2_dev")
     p.add_argument("--wav-root", default=None)
@@ -157,7 +185,11 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     data_dir = os.path.join(args.data_root, args.dataset)
-    if args.stage == 1:
+    if args.stage == 0:
+        assert args.url_manifest and args.archive_root
+        n = download_archives(args.url_manifest, args.archive_root)
+        print(f"downloaded {n} archives")
+    elif args.stage == 1:
         assert args.md5_manifest and args.archive_root
         bad = verify_md5(args.md5_manifest, args.archive_root)
         if bad:
