@@ -175,3 +175,35 @@ def test_eval_mode_terminates(tmp_path):
     assert len(items) == 3
     # eval mode: no cropping, keys passed through as labels
     assert items[0][0].shape == (30, 8) and items[0][1] == "u0"
+
+
+class TestDataDirCopySubset:
+    def test_copy_with_suffix(self, tmp_path):
+        from voxsrc2020_speaker_verification_tpu.utils import datadir
+        import os
+        src = str(tmp_path / "src"); dst = str(tmp_path / "dst")
+        os.makedirs(src)
+        datadir.write_two_column(os.path.join(src, "wav.scp"),
+                                 {"a": "/w/a.wav", "b": "/w/b.wav"})
+        datadir.write_two_column(os.path.join(src, "utt2spk"),
+                                 {"a": "s1", "b": "s2"})
+        datadir.copy_data_dir(src, dst, utt_suffix="-reverb")
+        wav = datadir.read_two_column(os.path.join(dst, "wav.scp"))
+        assert set(wav) == {"a-reverb", "b-reverb"}
+        u2s = datadir.read_two_column(os.path.join(dst, "utt2spk"))
+        assert u2s["a-reverb"] == "s1"
+        s2u = datadir.read_spk2utt(os.path.join(dst, "spk2utt"))
+        assert s2u["s2"] == ["b-reverb"]
+
+    def test_subset(self, tmp_path):
+        from voxsrc2020_speaker_verification_tpu.utils import datadir
+        import os
+        src = str(tmp_path / "src"); dst = str(tmp_path / "sub")
+        os.makedirs(src)
+        datadir.write_two_column(os.path.join(src, "wav.scp"),
+                                 {f"u{i}": f"/w/{i}.wav" for i in range(4)})
+        datadir.write_two_column(os.path.join(src, "utt2spk"),
+                                 {f"u{i}": f"s{i % 2}" for i in range(4)})
+        datadir.subset_data_dir(src, dst, ["u0", "u3"])
+        assert set(datadir.read_two_column(os.path.join(dst, "wav.scp"))) == {"u0", "u3"}
+        assert datadir.validate_data_dir(dst) == []

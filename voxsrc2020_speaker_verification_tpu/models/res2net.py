@@ -155,6 +155,8 @@ class Res2Net(fnn.Module):
 
     config: Res2NetConfig
     dtype: Optional[Any] = None
+    remat: bool = False  # per-block rematerialization: trades one extra
+                         # forward in backward for O(depth) activation memory
 
     @fnn.compact
     def __call__(
@@ -178,10 +180,14 @@ class Res2Net(fnn.Module):
             mask = ops.downsample_mask(mask, cfg.conv_stride, x.shape[1])
             x = ops.mask_time(x, mask)
 
+        block_cls = BottleneckBlockV1
+        if self.remat:
+            # static_argnums: (2,) = `training` (bool drives BN mode)
+            block_cls = fnn.remat(BottleneckBlockV1, static_argnums=(2,))
         for i, num_blocks in enumerate(cfg.block_sizes):
             for j in range(num_blocks):
                 strides = cfg.block_strides[i] if j == 0 else 1
-                x = BottleneckBlockV1(
+                x = block_cls(
                     filters=cfg.num_filters[i], strides=strides,
                     use_projection=(j == 0), split=cfg.split, width=cfg.width[i],
                     dtype=self.dtype, name=f"layer{i + 1}_block{j + 1}",
@@ -216,5 +222,5 @@ RES2NET_CONFIGS = {
 }
 
 
-def res2net(name: str, dtype=None) -> Res2Net:
-    return Res2Net(config=RES2NET_CONFIGS[name], dtype=dtype)
+def res2net(name: str, dtype=None, remat: bool = False) -> Res2Net:
+    return Res2Net(config=RES2NET_CONFIGS[name], dtype=dtype, remat=remat)

@@ -46,6 +46,7 @@ class TrainConfig:
     # precision / regularization
     bf16: bool = True
     specaug: bool = False
+    remat: bool = False   # per-block rematerialization (large models / batches)
 
     # raw-audio mode: waveform crops in, FBANK+CMVN on device
     # (ops/pipeline.py); dither matches the reference's offline

@@ -23,9 +23,11 @@ class SpeakerNet(fnn.Module):
     num_classes: int = 5994
     num_centers: int = 2
     dtype: Optional[Any] = None
+    remat: bool = False
 
     def setup(self):
-        self.encoder = get_model(self.model_name, dtype=self.dtype)
+        self.encoder = get_model(self.model_name, dtype=self.dtype,
+                                 remat=self.remat)
         self.projection = MarginProjection(
             num_classes=self.num_classes, kind=self.projection_id,
             num_centers=self.num_centers, dtype=self.dtype, name="projection",

@@ -58,6 +58,7 @@ def build_speaker_net(config: TrainConfig) -> SpeakerNet:
         num_classes=config.num_classes,
         num_centers=config.num_centers,
         dtype=jnp.bfloat16 if config.bf16 else None,
+        remat=config.remat,
     )
 
 

@@ -162,6 +162,44 @@ def validate_data_dir(path: str) -> List[str]:
     return problems
 
 
+def copy_data_dir(src: str, dst: str, utt_suffix: str = "",
+                  files: Sequence[str] = ("wav.scp", "utt2spk", "utt2dur")) -> None:
+    """Copy a data dir, optionally suffixing utt ids
+    (ref utils/copy_data_dir.sh --utt-suffix, used for the -reverb copy)."""
+    os.makedirs(dst, exist_ok=True)
+    for name in files:
+        p = os.path.join(src, name)
+        if not os.path.exists(p):
+            continue
+        mapping = read_two_column(p)
+        write_two_column(
+            os.path.join(dst, name),
+            {u + utt_suffix: v for u, v in mapping.items()},
+        )
+    u2s = os.path.join(dst, "utt2spk")
+    if os.path.exists(u2s):
+        write_spk2utt(os.path.join(dst, "spk2utt"),
+                      utt2spk_to_spk2utt(read_two_column(u2s)))
+
+
+def subset_data_dir(src: str, dst: str, utts: Sequence[str],
+                    files: Sequence[str] = ("wav.scp", "utt2spk", "utt2dur")) -> None:
+    """Keep only `utts` (ref utils/subset_data_dir.sh)."""
+    keep = set(utts)
+    os.makedirs(dst, exist_ok=True)
+    for name in files:
+        p = os.path.join(src, name)
+        if not os.path.exists(p):
+            continue
+        mapping = read_two_column(p)
+        write_two_column(os.path.join(dst, name),
+                         {u: v for u, v in mapping.items() if u in keep})
+    u2s = os.path.join(dst, "utt2spk")
+    if os.path.exists(u2s):
+        write_spk2utt(os.path.join(dst, "spk2utt"),
+                      utt2spk_to_spk2utt(read_two_column(u2s)))
+
+
 def fix_data_dir(path: str) -> None:
     """Sort + reconcile utt2spk/spk2utt/wav.scp to their intersection
     (ref utils/fix_data_dir.sh)."""
