@@ -39,6 +39,7 @@ class TrainConfig:
     clip_norm: float = 1.0
     l2_scale: float = 1e-3
     base_lr: Optional[float] = None  # default: 0.08/128 * effective batch
+    lr_schedule: str = "exp"  # "exp" | "cosine" (ref tf_scheduler.py:48-105)
     lr_boundaries_epochs: tuple = (3, 13, 23)
     margin_boundaries_epochs: tuple = (3, 13)
     decay_rate: float = 0.5

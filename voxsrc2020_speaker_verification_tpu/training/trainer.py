@@ -116,10 +116,15 @@ def make_train_step(config: TrainConfig):
         assert labels.ndim == 2
         assert isinstance(features, tuple) if config.raw_audio \
             else features.ndim == 4
-        lr = schedules.warmup_constant_exponential_decay(
-            config.learning_rate, state.step, lr_bounds, epoch,
-            decay_rate=config.decay_rate,
-        )
+        if config.lr_schedule == "cosine":
+            lr = schedules.warmup_constant_cosine_decay(
+                config.learning_rate, state.step, lr_bounds
+            )
+        else:
+            lr = schedules.warmup_constant_exponential_decay(
+                config.learning_rate, state.step, lr_bounds, epoch,
+                decay_rate=config.decay_rate,
+            )
         margin = schedules.zero_linear_constant(
             config.margin, state.step, margin_bounds, epoch
         )
