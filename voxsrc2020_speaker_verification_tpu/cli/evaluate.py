@@ -50,16 +50,25 @@ def main(argv=None) -> None:
     from ..utils import datadir
     from .extract import extract_dataset
 
-    def xvectors_for(data_dir):
-        out_prefix = os.path.join(args.out_dir or data_dir, "xvector")
-        scp = out_prefix + ".scp"
+    def xvector_scp(data_dir):
+        """Per-dataset xvector prefix: inside the data dir, or -- with
+        --out-dir -- namespaced by the data dir's basename so the test and
+        cohort sets never collide."""
+        if args.out_dir:
+            base = os.path.basename(os.path.normpath(data_dir))
+            prefix = os.path.join(args.out_dir, f"xvector_{base}")
+        else:
+            prefix = os.path.join(data_dir, "xvector")
+        scp = prefix + ".scp"
         if not os.path.exists(scp):
             print(f"extracting {data_dir} ...")
-            scp = extract_dataset(args.artifact, data_dir, out_prefix,
+            os.makedirs(os.path.dirname(prefix), exist_ok=True)
+            scp = extract_dataset(args.artifact, data_dir, prefix,
                                   batch_size=args.batch_size)
-        return {u: l2norm(v) for u, v in kaldi_io.read_vec_flt_scp(scp)}
+        return scp
 
-    xvec = xvectors_for(args.test_dir)
+    xvec = {u: l2norm(v) for u, v in
+            kaldi_io.read_vec_flt_scp(xvector_scp(args.test_dir))}
 
     cohort = None
     if args.cohort_weights:
@@ -67,14 +76,7 @@ def main(argv=None) -> None:
             w = np.asarray(pickle.load(f), np.float32)
         cohort = {i: row for i, row in enumerate(w)}
     elif args.cohort_dir:
-        raw = dict(kaldi_io.read_vec_flt_scp(
-            os.path.join(args.out_dir or args.cohort_dir, "xvector.scp"))) \
-            if os.path.exists(os.path.join(args.out_dir or args.cohort_dir,
-                                           "xvector.scp")) else None
-        if raw is None:
-            _ = xvectors_for(args.cohort_dir)
-            raw = dict(kaldi_io.read_vec_flt_scp(
-                os.path.join(args.out_dir or args.cohort_dir, "xvector.scp")))
+        raw = dict(kaldi_io.read_vec_flt_scp(xvector_scp(args.cohort_dir)))
         spk2utt = datadir.read_spk2utt(os.path.join(args.cohort_dir, "spk2utt"))
         cohort = speaker_means(raw, spk2utt)
 

@@ -9,9 +9,10 @@ Replaces the reference's per-GPU tf_extract.py orchestration
 
 Differences by design (see eval/extract.py): instead of 8 batch-1 dynamic-
 shape processes, one device runs large static bucket batches with masked
-pooling; sliding CMVN (the reference's apply-cmvn-sliding feeder pipe,
-tf_extract.py:63) is fused into the jitted embed function.  Chunk-averaging
-semantics are reference-exact.
+pooling.  Sliding CMVN is applied over the FULL utterance before chunking
+-- exactly like the reference's apply-cmvn-sliding feeder pipe
+(tf_extract.py:63) that precedes the 1000-frame chunk loop -- on device in
+length-bucketed batches.  Chunk-averaging semantics are reference-exact.
 """
 
 from __future__ import annotations
@@ -22,20 +23,35 @@ import os
 import numpy as np
 
 
-def make_cmvn_embed_fn(embed_fn, window: int = 300):
-    """Wrap a jitted embed fn with on-device sliding CMVN (center, mean-only,
-    300 frames -- ref tf_train_tdnn.py:83 / tf_extract.py:63)."""
+def cmvn_full_stream(
+    stream,
+    window: int = 300,
+    bucket_frames=(500, 1000, 2000, 4000, 8000, 16000),
+):
+    """(utt, raw (T, F) feats) -> (utt, CMVN'd (T, F) feats), normalizing
+    each FULL utterance (ref tf_extract.py:63 applies apply-cmvn-sliding to
+    the whole utterance before chunking; per-chunk CMVN would change the
+    statistics near internal chunk boundaries).  Runs on device, one compile
+    per length bucket."""
+    import functools
+
     import jax
 
     from ..ops.cmvn import sliding_cmvn
 
-    @jax.jit
-    def fn(feats, mask):
-        num_valid = mask.sum(axis=1).astype("int32")
-        feats = sliding_cmvn(feats, num_valid, window=window, center=True)
-        return embed_fn(feats, mask)
+    @functools.partial(jax.jit, static_argnames=("w",))
+    def cmvn(feats, num_valid, w):
+        return sliding_cmvn(feats, num_valid, window=w, center=True)
 
-    return fn
+    for utt, feat in stream:
+        t = len(feat)
+        bucket = next((b for b in bucket_frames if t <= b), None)
+        if bucket is None:  # beyond the largest bucket: exact length
+            bucket = t
+        padded = np.zeros((1, bucket, feat.shape[1]), np.float32)
+        padded[0, :t] = feat
+        out = np.asarray(cmvn(padded, np.array([t], np.int32), window))
+        yield utt, out[0, :t]
 
 
 def wave_feature_stream(
@@ -48,8 +64,8 @@ def wave_feature_stream(
 ):
     """Stream (utt, (T, F) raw fbank features) straight from a wav.scp --
     device-batched by audio-length bucket, no feature store.  CMVN is NOT
-    applied here (the embed wrapper does it on device with the true frame
-    count, preserving full-utterance window semantics)."""
+    applied here; pipe the stream through cmvn_full_stream (full-utterance
+    window semantics) before chunking."""
     import jax
 
     from ..data.augment import load_utterance
@@ -91,7 +107,6 @@ def extract_dataset(
     data_dir: str,
     out_prefix: str,
     *,
-    feat_name: str = None,
     batch_size: int = 32,
     cmn_window: int = 300,
     scp_name: str = None,
@@ -106,7 +121,7 @@ def extract_dataset(
     from ..eval.extract import extract_embeddings, make_bucketed_embed_fn
 
     config, embed = load_inference_artifact(artifact_dir)
-    fn = make_bucketed_embed_fn(make_cmvn_embed_fn(embed, window=cmn_window))
+    fn = make_bucketed_embed_fn(embed, batch_size=batch_size)
 
     if raw:
         stream = wave_feature_stream(
@@ -114,10 +129,9 @@ def extract_dataset(
             batch_size=batch_size,
         )
     else:
-        scp = os.path.join(
-            data_dir, scp_name or feat_name or f"fbank{config.feat_dim}.scp"
-        )
+        scp = os.path.join(data_dir, scp_name or f"fbank{config.feat_dim}.scp")
         stream = kaldi_io.read_mat_scp(scp)
+    stream = cmvn_full_stream(stream, window=cmn_window)
 
     def feature_stream():
         for i, (utt, feat) in enumerate(stream):

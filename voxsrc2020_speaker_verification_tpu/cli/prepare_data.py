@@ -102,17 +102,17 @@ def download_archives(url_manifest: str, out_root: str, workers: int = 4) -> int
     os.makedirs(out_root, exist_ok=True)
     with open(url_manifest) as f:
         urls = [l.strip() for l in f if l.strip() and not l.startswith("#")]
-    todo = [u for u in urls
-            if not os.path.exists(os.path.join(out_root, os.path.basename(u)))]
 
+    # always run wget -c: it resumes truncated files and no-ops complete
+    # ones -- pre-filtering on existence would strand partial downloads
     def fetch(url):
         subprocess.run(
             ["wget", "-q", "-c", "-P", out_root, url], check=True
         )
 
     with cf.ThreadPoolExecutor(max_workers=workers) as pool:
-        list(pool.map(fetch, todo))
-    return len(todo)
+        list(pool.map(fetch, urls))
+    return len(urls)
 
 
 def verify_md5(manifest: str, root: str) -> list:

@@ -89,12 +89,14 @@ def extract_embeddings(
     return {utt: (s / w).astype(np.float32) for utt, (s, w) in acc.items()}
 
 
-def make_bucketed_embed_fn(embed_fn: Callable, pad_batch: bool = True) -> Callable:
+def make_bucketed_embed_fn(embed_fn: Callable, batch_size: Optional[int] = None,
+                           pad_batch: bool = True) -> Callable:
     """Wrap a jitted embed fn so partial batches are padded to the full batch
-    size (one compile per (batch, bucket) pair instead of per remainder)."""
-    import functools
+    size (one compile per (batch, bucket) pair instead of per remainder).
+    Pass the intended `batch_size` explicitly; otherwise the first call's
+    batch pins the pad target (wrong if the first flush is partial)."""
 
-    cache = {}
+    cache = {"batch": batch_size} if batch_size else {}
 
     def wrapped(feats: np.ndarray, mask: np.ndarray):
         b = feats.shape[0]

@@ -80,6 +80,16 @@ def fit(
             state, exp_dir, resume_from=resume_from,
             max_to_keep=config.total_epochs + 1,
         )
+    elif resume_from is not None:
+        # checkpoint saving disabled but a resume source given (e.g. LMFT
+        # smoke runs with --no-checkpoint): still restore -- silently
+        # training from random init would be a wrong run, not a fast one.
+        from .checkpoint import CheckpointManager
+        src = CheckpointManager(resume_from)
+        restored = src.restore(state)
+        src.close()
+        if restored is not None:
+            state = restored
 
     data_sharding = NamedSharding(mesh, batch_spec())
     step_fn = jax.jit(
