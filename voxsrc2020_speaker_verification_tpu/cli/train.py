@@ -150,8 +150,11 @@ def main(argv=None) -> None:
             for i, p in enumerate(paths)
         ]
 
+    # each process feeds its local slice of the global per-microbatch batch
+    assert config.batch_size % args.num_processes == 0
+    local_batch = config.batch_size // args.num_processes
     feeder = BatchFeeder(
-        sources, config.batch_size, config.num_accumulation_steps
+        sources, local_batch, config.num_accumulation_steps
     ).start()
     try:
         result = fit(

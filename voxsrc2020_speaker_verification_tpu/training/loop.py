@@ -107,6 +107,22 @@ def fit(
     epoch_size = config.epoch_size
     audio_s_per_step = config.effective_batch * config.feat_length / 100.0
 
+    # Multi-host: every process feeds its LOCAL shard of the batch
+    # (batch_size // process_count per microbatch); assemble the global
+    # jax.Array across hosts before the jitted call.
+    num_procs = jax.process_count()
+
+    def globalize(batch):
+        if num_procs == 1:
+            return batch
+        feats, labels = batch
+        feats = jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                data_sharding, np.asarray(x)), feats)
+        labels = jax.make_array_from_process_local_data(
+            data_sharding, np.asarray(labels))
+        return feats, labels
+
     it = iter(batches)
     pending_metrics = None
     t_log = time.perf_counter()
@@ -114,8 +130,8 @@ def fit(
     steps_run = 0
     cur = start_step
     while cur < stop_step:
-        feats, labels = next(it)
-        state, metrics = step_fn(state, feats, np.asarray(labels), rng)
+        feats, labels = globalize(next(it))
+        state, metrics = step_fn(state, feats, np.asarray(labels) if num_procs == 1 else labels, rng)
         cur += 1
         steps_run += 1
         pending_metrics = metrics
