@@ -26,13 +26,15 @@ import numpy as np
 def cmvn_full_stream(
     stream,
     window: int = 300,
+    batch_size: int = 8,
     bucket_frames=(500, 1000, 2000, 4000, 8000, 16000),
 ):
     """(utt, raw (T, F) feats) -> (utt, CMVN'd (T, F) feats), normalizing
     each FULL utterance (ref tf_extract.py:63 applies apply-cmvn-sliding to
     the whole utterance before chunking; per-chunk CMVN would change the
-    statistics near internal chunk boundaries).  Runs on device, one compile
-    per length bucket."""
+    statistics near internal chunk boundaries).  Runs on device in
+    length-bucketed batches -- one compile per bucket, one dispatch per
+    `batch_size` utterances."""
     import functools
 
     import jax
@@ -43,15 +45,32 @@ def cmvn_full_stream(
     def cmvn(feats, num_valid, w):
         return sliding_cmvn(feats, num_valid, window=w, center=True)
 
+    pending = {b: [] for b in bucket_frames}
+
+    def flush(bucket, batch):
+        if not batch:
+            return
+        f = np.zeros((len(batch), bucket, batch[0][1].shape[1]), np.float32)
+        n = np.zeros(len(batch), np.int32)
+        for i, (_, feat) in enumerate(batch):
+            f[i, : len(feat)] = feat
+            n[i] = len(feat)
+        out = np.asarray(cmvn(f, n, window))
+        for i, (utt, feat) in enumerate(batch):
+            yield utt, out[i, : len(feat)]
+
     for utt, feat in stream:
         t = len(feat)
         bucket = next((b for b in bucket_frames if t <= b), None)
-        if bucket is None:  # beyond the largest bucket: exact length
-            bucket = t
-        padded = np.zeros((1, bucket, feat.shape[1]), np.float32)
-        padded[0, :t] = feat
-        out = np.asarray(cmvn(padded, np.array([t], np.int32), window))
-        yield utt, out[0, :t]
+        if bucket is None:  # beyond the largest bucket: exact length, batch-1
+            yield from flush(t, [(utt, feat)])
+            continue
+        pending[bucket].append((utt, feat))
+        if len(pending[bucket]) >= batch_size:
+            yield from flush(bucket, pending[bucket])
+            pending[bucket] = []
+    for b, batch in pending.items():
+        yield from flush(b, batch)
 
 
 def wave_feature_stream(
