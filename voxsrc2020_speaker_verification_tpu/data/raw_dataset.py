@@ -56,10 +56,16 @@ class RawAudioShardDataset:
         self.max_samples = max_crop_samples(feat_length, context, cfg)
 
     def _crop(self, samples: np.ndarray):
-        """-> (wave (max_samples,), num_samples, target_offset, pad_shift)."""
+        """-> (wave (max_samples,) int16, num_samples, target_offset, pad_shift).
+
+        int16 wire format: halves host->device transfer; the values are
+        int16-scale already (augmented mixes are clipped exactly like the
+        reference's wav-file round trip), and the device pipeline casts to
+        fp32 before the analysis matmuls."""
+        samples = np.clip(np.round(samples), -32768, 32767)
         cfg, L = self.cfg, self.feat_length
         n = num_frames(len(samples), cfg)
-        out = np.zeros(self.max_samples, np.float32)
+        out = np.zeros(self.max_samples, np.int16)
         if n >= L:
             t0 = self.rng.randint(n - L + 1)            # ref tf_data.py:99
             lo = max(0, t0 - self.context)

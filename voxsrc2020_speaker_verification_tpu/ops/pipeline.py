@@ -47,7 +47,8 @@ def max_crop_samples(feat_length: int, context: int, cfg: FbankConfig) -> int:
     jax.jit, static_argnames=("cfg", "feat_length", "window", "context")
 )
 def waveform_to_features(
-    waves: jax.Array,          # (B, Smax) float32, int16 scale, zero-padded
+    waves: jax.Array,          # (B, Smax) float32 or int16 (wire format),
+                               # int16 scale, zero-padded
     num_samples: jax.Array,    # (B,) int32 valid samples
     target_offset: jax.Array,  # (B,) int32 first target frame within the crop
     pad_shift: jax.Array,      # (B,) int32 zero-pad shift for short utts
