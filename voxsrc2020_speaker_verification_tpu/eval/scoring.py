@@ -68,12 +68,16 @@ def cohort_stats(
     cohort_matrix: np.ndarray,
     topk: int = 400,
     use_device: bool = True,
+    block_rows: int = 8192,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-trial-vector mean/std of its top-k cohort scores (snorm.py:83-110).
 
     trial_matrix (N, D) and cohort_matrix (C, D) should already carry the
     normalization the reference applies (trial vecs l2-normed; cohort =
-    speaker means of l2-normed vecs).
+    speaker means of l2-normed vecs).  The trial side is processed in
+    `block_rows` chunks (the reference blocks at 1024, snorm.py:99-109) so
+    the (N, C) score matrix is never materialized -- at VoxCeleb scale that
+    would be tens of GB.
     """
     if use_device:
         try:
@@ -86,16 +90,27 @@ def cohort_stats(
                 top, _ = jax.lax.top_k(scores, topk)
                 return jnp.mean(top, axis=1), jnp.std(top, axis=1)
 
-            mean, std = _stats(
-                jnp.asarray(trial_matrix, jnp.float32),
-                jnp.asarray(cohort_matrix, jnp.float32),
-            )
-            return np.asarray(mean, np.float64), np.asarray(std, np.float64)
+            c = jnp.asarray(cohort_matrix, jnp.float32)
+            n = len(trial_matrix)
+            means, stds = [], []
+            for lo in range(0, n, block_rows):
+                block = np.zeros((min(block_rows, n), trial_matrix.shape[1]),
+                                 np.float32)
+                rows = trial_matrix[lo: lo + block_rows]
+                block[: len(rows)] = rows
+                m, s = _stats(jnp.asarray(block), c)
+                means.append(np.asarray(m[: len(rows)], np.float64))
+                stds.append(np.asarray(s[: len(rows)], np.float64))
+            return np.concatenate(means), np.concatenate(stds)
         except Exception:
             pass
-    scores = trial_matrix @ cohort_matrix.T
-    top = -np.sort(-scores, axis=1)[:, :topk]
-    return top.mean(axis=1), top.std(axis=1)
+    means, stds = [], []
+    for lo in range(0, len(trial_matrix), block_rows):
+        scores = trial_matrix[lo: lo + block_rows] @ cohort_matrix.T
+        top = -np.sort(-scores, axis=1)[:, :topk]
+        means.append(top.mean(axis=1))
+        stds.append(top.std(axis=1))
+    return np.concatenate(means), np.concatenate(stds)
 
 
 def asnorm_scores(
