@@ -85,6 +85,41 @@ def test_masked_padded_forward_matches_exact(name):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_strided_split_conv_grouped_matches_unrolled():
+    """The stride-2 split stage is computed as ONE grouped conv (the reference
+    unrolls s-1 independent convs, res2net_model.py:62-77); verify the grouped
+    form reproduces the unrolled per-group math exactly."""
+    from voxsrc2020_speaker_verification_tpu.models.res2net import Res2NetSplitConv
+    from voxsrc2020_speaker_verification_tpu.ops import nn as ops
+
+    s, w, k = 4, 6, 3
+    mod = Res2NetSplitConv(split=s, width=w, strides=2)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 17, 9, s * w))
+    variables = mod.init(jax.random.PRNGKey(0), x, False)
+    got = mod.apply(variables, x, False)
+
+    # Unrolled reference computation from the same params/stats.
+    xp = ops.fixed_padding(x, k)
+    kernel = variables["params"]["kernel"]
+    outs = []
+    for i in range(s - 1):
+        y = jax.lax.conv_general_dilated(
+            xp[..., i * w:(i + 1) * w], kernel[..., i * w:(i + 1) * w],
+            window_strides=(2, 2), padding="VALID",
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                (2, 19, 11, w), (k, k, w, w), ("NHWC", "HWIO", "NHWC")),
+        )
+        stats = variables["batch_stats"][f"bn{i}"]["bn"]
+        y = (y - stats["mean"]) * jax.lax.rsqrt(stats["var"] + ops.BN_EPSILON)
+        outs.append(jax.nn.relu(y))
+    outs.append(ops.avg_pool_3x3(xp[..., (s - 1) * w:], 2))
+    expected = jnp.concatenate(outs, axis=3)
+
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_training_mode_updates_batch_stats():
     model = get_model("tdnn")
     x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 40))
@@ -94,6 +129,52 @@ def test_training_mode_updates_batch_stats():
     old = jax.tree.leaves(variables["batch_stats"])
     new = jax.tree.leaves(mutated["batch_stats"])
     assert any(not np.allclose(o, n) for o, n in zip(old, new))
+
+
+def test_grouped_bn_matches_independent_half_batches():
+    """bn_groups=2 training BN must equal two independent BNs over the batch
+    halves (the reference's per-replica Horovod BN, models.py:62-73), and the
+    running-stat update must be the across-group mean of the group moments."""
+    from voxsrc2020_speaker_verification_tpu.ops import nn as ops
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 12, 5, 7)) * 2.0 + 0.5
+    bn = ops.BatchNorm(use_running_average=False)
+    variables = bn.init(jax.random.PRNGKey(1), x)
+
+    with ops.bn_groups(2):
+        grouped, mutated = bn.apply(variables, x, mutable=["batch_stats"])
+
+    halves, stats = [], []
+    for part in (x[:4], x[4:]):
+        y, m = bn.apply(variables, part, mutable=["batch_stats"])
+        halves.append(np.asarray(y))
+        stats.append(m["batch_stats"]["bn"])
+    expected = np.concatenate(halves, axis=0)
+
+    np.testing.assert_allclose(np.asarray(grouped), expected, rtol=2e-5, atol=2e-5)
+    for key in ("mean", "var"):
+        got = np.asarray(mutated["batch_stats"]["bn"][key])
+        want = np.mean([np.asarray(s[key]) for s in stats], axis=0)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_grouped_bn_inference_and_tree_unchanged():
+    """bn_groups must not alter inference behavior or the variable tree."""
+    from voxsrc2020_speaker_verification_tpu.ops import nn as ops
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 6, 3, 5))
+    bn = ops.BatchNorm(use_running_average=True)
+    variables = bn.init(jax.random.PRNGKey(1), x)
+    base = bn.apply(variables, x)
+    with ops.bn_groups(4):
+        grouped = bn.apply(variables, x)
+        tree = jax.eval_shape(
+            lambda k: ops.BatchNorm(use_running_average=False).init(k, x),
+            jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(base), np.asarray(grouped))
+    assert jax.tree_util.tree_structure(tree) == jax.tree_util.tree_structure(variables)
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(variables)):
+        assert a.shape == b.shape
 
 
 def test_all_models_buildable():

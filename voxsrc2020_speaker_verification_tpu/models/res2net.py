@@ -57,6 +57,30 @@ class Res2NetSplitConv(fnn.Module):
             "kernel", ops.conv_kernel_init, (k, k, w, w * (s - 1)), jnp.float32
         )
         kernel = kernel.astype(x.dtype)
+
+        def bn_relu(y, idx):
+            y = ops.BatchNorm(use_running_average=not training,
+                              dtype=self.dtype, name=f"bn{idx}")(y)
+            return jax.nn.relu(y)
+
+        if self.strides > 1:
+            # At stride > 1 the reference skips the hierarchical adds
+            # (res2net_model.py:62-65), so the s-1 convs are independent:
+            # batch them as ONE grouped conv (feature_group_count = s-1) --
+            # bit-identical math, one MXU dispatch instead of s-1.
+            dn = jax.lax.conv_dimension_numbers(
+                (x.shape[0], x.shape[1], x.shape[2], w),
+                kernel[..., :w].shape, ("NHWC", "HWIO", "NHWC"),
+            )
+            y = jax.lax.conv_general_dilated(
+                x[..., : w * (s - 1)], kernel,
+                window_strides=(self.strides, self.strides), padding=padding,
+                dimension_numbers=dn, feature_group_count=s - 1,
+            )
+            outputs = [bn_relu(y[..., i * w: (i + 1) * w], i) for i in range(s - 1)]
+            outputs.append(ops.avg_pool_3x3(x[..., w * (s - 1):], self.strides))
+            return jnp.concatenate(outputs, axis=3)
+
         groups = jnp.split(x, s, axis=3)
         kernels = jnp.split(kernel, s - 1, axis=3)
 
@@ -73,20 +97,15 @@ class Res2NetSplitConv(fnn.Module):
         outputs = []
         for idx in range(s - 1):
             inp = groups[idx]
-            if idx > 0 and self.strides == 1:
+            if idx > 0:
                 # mask the hierarchical add: the previous group's BN+relu is
                 # nonzero at padded positions once BN stats are trained, and
                 # this sum feeds a 3x3 conv (see ops.mask_time).
                 inp = inp + ops.mask_time(outputs[idx - 1], mask)
             y = conv(inp, kernels[idx])
-            y = ops.BatchNorm(use_running_average=not training,
-                              dtype=self.dtype, name=f"bn{idx}")(y)
-            outputs.append(jax.nn.relu(y))
+            outputs.append(bn_relu(y, idx))
 
-        if self.strides == 1:
-            outputs.append(groups[s - 1])
-        else:
-            outputs.append(ops.avg_pool_3x3(groups[s - 1], self.strides))
+        outputs.append(groups[s - 1])
         return jnp.concatenate(outputs, axis=3)
 
 

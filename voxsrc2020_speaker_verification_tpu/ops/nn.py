@@ -35,6 +35,8 @@ TPU-first design notes:
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -88,14 +90,85 @@ def fixed_padding(x: jax.Array, kernel_size: Union[int, Tuple[int, int]]) -> jax
     return jnp.pad(x, [(0, 0), (hb, he), (wb, we), (0, 0)])
 
 
+# Trace-time BN-statistics grouping (per-replica BN).  1 = global-batch
+# statistics (sync-BN under pjit); G > 1 = statistics over each of G equal
+# batch groups.  With the batch sharded over a G-way ``data`` mesh axis the
+# groups coincide with the shards, so XLA computes the moments without any
+# cross-chip reduction -- exactly the reference's per-replica Horovod BN
+# (ref models.py:62-73, sync-BN commented out).  Threaded as a contextvar so
+# the model zoo's ~12 BN call sites need no extra plumbing; it is read at
+# trace time (inside jit tracing), so it must be set around the traced call
+# (SpeakerNet.__call__ does this from its ``bn_groups`` field).
+_BN_GROUPS: contextvars.ContextVar[int] = contextvars.ContextVar(
+    "bn_groups", default=1
+)
+
+
+@contextlib.contextmanager
+def bn_groups(groups: int):
+    token = _BN_GROUPS.set(max(1, int(groups)))
+    try:
+        yield
+    finally:
+        _BN_GROUPS.reset(token)
+
+
+class _GroupedBN(fnn.Module):
+    """Batch norm with statistics per batch group (per-replica BN semantics).
+
+    Variable names/shapes are identical to ``fnn.BatchNorm`` (batch_stats
+    ``mean``/``var`` of shape (C,)), so checkpoints are interchangeable with
+    the sync-BN path.  Running stats are updated with the across-group mean
+    of the group moments (the reference keeps per-replica moving stats and
+    checkpoints rank 0's copy; with iid shards these converge to the same
+    values, and a single canonical copy keeps the checkpoint layout sane).
+    """
+
+    groups: int
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPSILON
+    dtype: Optional[Dtype] = None
+
+    @fnn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+
+        b, g = x.shape[0], self.groups
+        if self.is_initializing():
+            g = 1  # init uses a dummy batch-1 example; values are irrelevant
+        assert b % g == 0, f"batch {b} not divisible into {g} BN groups"
+        xg = x.reshape((g, b // g) + x.shape[1:])
+        x32 = xg.astype(jnp.float32)
+        axes = tuple(range(1, x32.ndim - 1))
+        mean = jnp.mean(x32, axis=axes)                       # (g, C)
+        var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+
+        if not self.is_initializing():
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1.0 - self.momentum) * jnp.mean(mean, axis=0))
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1.0 - self.momentum) * jnp.mean(var, axis=0))
+
+        bshape = (g,) + (1,) * len(axes) + (c,)
+        y = (x32 - mean.reshape(bshape)) * jax.lax.rsqrt(
+            var.reshape(bshape) + self.epsilon)
+        return y.reshape(x.shape).astype(self.dtype or x.dtype)
+
+
 class BatchNorm(fnn.Module):
     """Affine-free batch norm: momentum 0.997, eps 1e-5 (ref models.py:62-67).
 
     Running statistics live in the ``batch_stats`` collection.  Under pjit
     the batch statistics are computed over the *global* (sharded) batch --
-    i.e. sync-BN across the data axis -- which replaces the reference's
-    per-replica BN (SURVEY.md section 2.4).  Set ``axis_name`` only when
-    running under shard_map/pmap where XLA cannot see the full batch.
+    i.e. sync-BN across the data axis -- replacing the reference's
+    per-replica BN (SURVEY.md section 2.4); wrap the traced call in
+    ``bn_groups(G)`` to restore per-replica statistics over G batch groups.
+    Set ``axis_name`` only when running under shard_map/pmap where XLA cannot
+    see the full batch.
     """
 
     use_running_average: bool = False
@@ -107,6 +180,12 @@ class BatchNorm(fnn.Module):
     @fnn.compact
     def __call__(self, x: jax.Array, use_running_average: Optional[bool] = None) -> jax.Array:
         ura = self.use_running_average if use_running_average is None else use_running_average
+        groups = _BN_GROUPS.get()
+        if groups > 1 and not ura:
+            return _GroupedBN(
+                groups=groups, momentum=self.momentum, epsilon=self.epsilon,
+                dtype=self.dtype, name="bn",
+            )(x)
         return fnn.BatchNorm(
             use_running_average=ura,
             momentum=self.momentum,

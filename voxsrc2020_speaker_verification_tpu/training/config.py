@@ -48,6 +48,10 @@ class TrainConfig:
     bf16: bool = True
     specaug: bool = False
     remat: bool = False   # per-block rematerialization (large models / batches)
+    bn_groups: int = 1    # 1 = global-batch (sync) BN statistics; set to the
+                          # data-shard count for the reference's per-replica
+                          # BN semantics (deterministic in the group count,
+                          # not the physical chip count)
 
     # raw-audio mode: waveform crops in, FBANK+CMVN on device
     # (ops/pipeline.py); dither matches the reference's offline

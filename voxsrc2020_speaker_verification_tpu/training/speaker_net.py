@@ -15,6 +15,7 @@ import flax.linen as fnn
 
 from ..models import get_model
 from ..losses import MarginProjection
+from ..ops import nn as ops
 
 
 class SpeakerNet(fnn.Module):
@@ -24,6 +25,8 @@ class SpeakerNet(fnn.Module):
     num_centers: int = 2
     dtype: Optional[Any] = None
     remat: bool = False
+    bn_groups: int = 1  # >1: per-replica BN statistics over G batch groups
+                        # (the reference's Horovod BN, models.py:62-73)
 
     def setup(self):
         self.encoder = get_model(self.model_name, dtype=self.dtype,
@@ -34,7 +37,8 @@ class SpeakerNet(fnn.Module):
         )
 
     def __call__(self, feats, labels, scale, margin, training: bool = True):
-        emb = self.encoder(feats, training)
+        with ops.bn_groups(self.bn_groups):
+            emb = self.encoder(feats, training)
         logits = self.projection(emb, labels, scale, margin)
         return emb, logits
 
