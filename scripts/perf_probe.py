@@ -10,8 +10,11 @@ On the axon tunnel, timings must end with a value fetch (remote futures make
 block_until_ready a no-op) -- every loop below fetches a scalar.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
