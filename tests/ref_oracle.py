@@ -37,6 +37,11 @@ def main() -> None:
         # expansion_dim=2)
         x = tf.placeholder(tf.float32, [None, None, 1, feat_dim])
         feats = np.random.RandomState(7).randn(3, 50, 1, feat_dim)
+    elif model_name.startswith("dpn"):
+        from models import dpn_model
+        model = getattr(dpn_model, model_name)
+        x = tf.placeholder(tf.float32, [None, None, feat_dim, 1])
+        feats = np.random.RandomState(7).randn(3, 50, feat_dim, 1)
     else:
         from models import res2net_model
         model = getattr(res2net_model, model_name)

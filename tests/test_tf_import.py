@@ -41,6 +41,7 @@ def _oracle(model_name: str, feat_dim: int, tmp_path):
     ("res2net50_w8_s6_c16", 80),
     ("res2net101_w24_s4_c32_att", 80),  # covers att_stats_pool import
     ("tdnn", 40),
+    ("dpn68", 40),
 ])
 def test_reference_checkpoint_parity(model_name, feat_dim, tmp_path):
     data = _oracle(model_name, feat_dim, tmp_path)

@@ -117,15 +117,44 @@ def tdnn_var_map(block_order: str = "conv_relu_bn", num_blocks: int = 5) -> VarM
     return m
 
 
+def dpn_var_map(model_name: str) -> VarMap:
+    """Variable map for the DPN family (ref dpn_model.py:32-171).
+
+    Creation order: stem conv->BN (conv_bn_relu, :32-37); per block the
+    projection bn_relu_conv first when present (:77), then conv_a/conv_b/
+    conv_c (each BN before conv, :40-55); final concat BN (:152); head."""
+    cfg = DPN_CONFIGS[model_name]
+    m: VarMap = {}
+    sim = _NameSim()
+    m[f"{sim.conv()}/kernel"] = ("params", ("initial_conv", "conv", "kernel"))
+    _add_bn(m, sim, ("initial_bn",))
+
+    def brc(blk: str, mod: str) -> None:  # BnReluConv: BN then conv
+        _add_bn(m, sim, (blk, mod, "bn"))
+        m[f"{sim.conv()}/kernel"] = (
+            "params", (blk, mod, "conv2d", "conv", "kernel"))
+
+    for i in range(4):
+        for j in range(cfg.k_sec[i]):
+            blk = f"stage{i + 1}_block{j + 1}"
+            if j == 0 and cfg.projection_types[i] != "normal":
+                brc(blk, "proj")
+            brc(blk, "conv_a")
+            brc(blk, "conv_b")
+            assert not cfg.use_se, "se DPN variants are not mapped"
+            brc(blk, "conv_c")
+    _add_bn(m, sim, ("final_bn",))
+    _add_head(m, sim, cfg.pool)
+    return m
+
+
 def reference_var_map(model_name: str) -> VarMap:
     if model_name == "tdnn":
         return tdnn_var_map()
     if model_name in RES2NET_CONFIGS:
         return res2net_var_map(model_name)
     if model_name in DPN_CONFIGS:
-        raise NotImplementedError(
-            "DPN checkpoint import: the dual-path concat structure needs its "
-            "own name simulation; train DPN natively instead.")
+        return dpn_var_map(model_name)
     raise ValueError(f"unknown model {model_name!r}")
 
 
