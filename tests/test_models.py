@@ -177,6 +177,21 @@ def test_grouped_bn_inference_and_tree_unchanged():
         assert a.shape == b.shape
 
 
+def test_remat_and_policy_preserve_forward():
+    """remat / remat_policy change memory scheduling, never values."""
+    from voxsrc2020_speaker_verification_tpu.models import get_model as gm
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 40))
+    base = gm("res2net50_w8_s6_c16")
+    variables = base.init(jax.random.PRNGKey(0), x, False)
+    want = base.apply(variables, x, False)
+    for kwargs in ({"remat": True},
+                   {"remat": True, "remat_policy": "dots_saveable"}):
+        got = gm("res2net50_w8_s6_c16", **kwargs).apply(variables, x, False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_all_models_buildable():
     for name in MODEL_NAMES:
         m = get_model(name)

@@ -13,13 +13,13 @@ from .dpn import Dpn, DpnConfig, DPN_CONFIGS, dpn
 MODEL_NAMES = ("tdnn",) + tuple(RES2NET_CONFIGS) + tuple(DPN_CONFIGS)
 
 
-def get_model(name: str, dtype=None, remat: bool = False):
+def get_model(name: str, dtype=None, remat: bool = False, remat_policy=None):
     """Build a model by recipe id. dtype is the compute dtype (bf16 for train);
     remat enables per-block rematerialization (res2net family)."""
     if name == "tdnn":
         return tdnn(dtype=dtype)
     if name in RES2NET_CONFIGS:
-        return res2net(name, dtype=dtype, remat=remat)
+        return res2net(name, dtype=dtype, remat=remat, remat_policy=remat_policy)
     if name in DPN_CONFIGS:
         return dpn(name, dtype=dtype)
     raise ValueError(f"unknown model {name!r}; available: {MODEL_NAMES}")

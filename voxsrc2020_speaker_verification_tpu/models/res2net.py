@@ -176,6 +176,9 @@ class Res2Net(fnn.Module):
     dtype: Optional[Any] = None
     remat: bool = False  # per-block rematerialization: trades one extra
                          # forward in backward for O(depth) activation memory
+    remat_policy: Optional[str] = None  # jax.checkpoint_policies name, e.g.
+                         # "dots_saveable": save MXU outputs inside remat'd
+                         # blocks, recompute only elementwise chains
 
     @fnn.compact
     def __call__(
@@ -201,8 +204,11 @@ class Res2Net(fnn.Module):
 
         block_cls = BottleneckBlockV1
         if self.remat:
+            policy = (getattr(jax.checkpoint_policies, self.remat_policy)
+                      if self.remat_policy else None)
             # static_argnums: (2,) = `training` (bool drives BN mode)
-            block_cls = fnn.remat(BottleneckBlockV1, static_argnums=(2,))
+            block_cls = fnn.remat(BottleneckBlockV1, static_argnums=(2,),
+                                  policy=policy)
         for i, num_blocks in enumerate(cfg.block_sizes):
             for j in range(num_blocks):
                 strides = cfg.block_strides[i] if j == 0 else 1
@@ -241,5 +247,7 @@ RES2NET_CONFIGS = {
 }
 
 
-def res2net(name: str, dtype=None, remat: bool = False) -> Res2Net:
-    return Res2Net(config=RES2NET_CONFIGS[name], dtype=dtype, remat=remat)
+def res2net(name: str, dtype=None, remat: bool = False,
+            remat_policy=None) -> Res2Net:
+    return Res2Net(config=RES2NET_CONFIGS[name], dtype=dtype, remat=remat,
+                   remat_policy=remat_policy)

@@ -48,6 +48,9 @@ class TrainConfig:
     bf16: bool = True
     specaug: bool = False
     remat: bool = False   # per-block rematerialization (large models / batches)
+    remat_policy: Optional[str] = None  # jax.checkpoint_policies name for
+                          # selective remat, e.g. "dots_saveable" keeps MXU
+                          # outputs and recomputes only elementwise chains
     bn_groups: int = 1    # 1 = global-batch (sync) BN statistics; set to the
                           # data-shard count for the reference's per-replica
                           # BN semantics (deterministic in the group count,

@@ -59,6 +59,7 @@ def build_speaker_net(config: TrainConfig) -> SpeakerNet:
         num_centers=config.num_centers,
         dtype=jnp.bfloat16 if config.bf16 else None,
         remat=config.remat,
+        remat_policy=config.remat_policy,
         bn_groups=config.bn_groups,
     )
 
