@@ -37,6 +37,44 @@ class FitResult:
     audio_seconds_per_second: float
 
 
+class _PrefetchError:
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+def device_prefetch(iterator, put, depth: int = 2):
+    """Double-buffered device feed: a background thread runs ``put`` (the
+    host->device transfer) up to ``depth`` batches ahead, so the copy
+    overlaps the running step instead of serializing with dispatch.  The
+    reference gets the same overlap from its feeder-process queue + TF's
+    async feed_dict staging (tf_train_tdnn.py:151-164,313-317); over a
+    remote-TPU tunnel the transfer is expensive enough that this matters
+    even more than on local PCIe."""
+    import queue
+    import threading
+
+    buf: "queue.Queue" = queue.Queue(maxsize=depth)
+    done = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                buf.put(put(item))
+        except BaseException as e:  # surface in the consumer thread
+            buf.put(_PrefetchError(e))
+            return
+        buf.put(done)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = buf.get()
+        if item is done:
+            return
+        if isinstance(item, _PrefetchError):
+            raise item.exc
+        yield item
+
+
 def fit(
     config: TrainConfig,
     batches: Iterable,
@@ -113,9 +151,13 @@ def fit(
     num_procs = jax.process_count()
 
     def globalize(batch):
-        if num_procs == 1:
-            return batch
         feats, labels = batch
+        if num_procs == 1:
+            # Explicit async transfer (instead of implicit put at dispatch)
+            # so device_prefetch overlaps it with the previous step.
+            feats = jax.device_put(feats, data_sharding)
+            labels = jax.device_put(np.asarray(labels), data_sharding)
+            return feats, labels
         feats = jax.tree.map(
             lambda x: jax.make_array_from_process_local_data(
                 data_sharding, np.asarray(x)), feats)
@@ -123,15 +165,15 @@ def fit(
             data_sharding, np.asarray(labels))
         return feats, labels
 
-    it = iter(batches)
+    it = device_prefetch(iter(batches), globalize, depth=2)
     pending_metrics = None
     t_log = time.perf_counter()
     t_start = t_log
     steps_run = 0
     cur = start_step
     while cur < stop_step:
-        feats, labels = globalize(next(it))
-        state, metrics = step_fn(state, feats, np.asarray(labels) if num_procs == 1 else labels, rng)
+        feats, labels = next(it)
+        state, metrics = step_fn(state, feats, labels, rng)
         cur += 1
         steps_run += 1
         pending_metrics = metrics
