@@ -48,18 +48,20 @@ def test_param_counts_match_reference(name, feat_dim):
     assert abs(n / 1e6 - expected) < 0.11, (name, n)
 
 
-@pytest.mark.parametrize("name", ["tdnn", "res2net50_w8_s6_c16", "dpn68"])
+@pytest.mark.parametrize("name", ["tdnn", "res2net50_w8_s6_c16", "dpn68",
+                                  "ecapa_tdnn_512"])
 def test_forward_shape_and_finite(name):
     model = get_model(name)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 40))
     variables = model.init(jax.random.PRNGKey(0), x, False)
     out = model.apply(variables, x, False)
-    expected_dim = 192 if name == "res2net50_w8_s6_c16" else 256
+    expected_dim = 192 if name in ("res2net50_w8_s6_c16", "ecapa_tdnn_512") else 256
     assert out.shape == (2, expected_dim)
     assert np.isfinite(np.asarray(out)).all()
 
 
-@pytest.mark.parametrize("name", ["tdnn", "res2net50_w8_s6_c16", "dpn68"])
+@pytest.mark.parametrize("name", ["tdnn", "res2net50_w8_s6_c16", "dpn68",
+                                  "ecapa_tdnn_512"])
 def test_masked_padded_forward_matches_exact(name):
     """A zero-padded utterance with a validity mask must produce the same
     embedding as the exact-length utterance (replaces the reference's batch-1

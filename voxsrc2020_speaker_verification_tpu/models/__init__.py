@@ -1,4 +1,5 @@
-"""Speaker-embedding model zoo: TDNN, Res2Net family, DPN.
+"""Speaker-embedding model zoo: TDNN, Res2Net family, DPN (reference parity)
+plus ECAPA-TDNN (framework extension, arXiv:2005.07143).
 
 ``get_model(name)`` resolves the same model ids the reference recipes pass as
 ``model_id`` (ref run_*.sh; tf_train_tdnn.py:146 importlib resolution).
@@ -9,8 +10,10 @@ from __future__ import annotations
 from .tdnn import Tdnn, tdnn
 from .res2net import Res2Net, Res2NetConfig, RES2NET_CONFIGS, res2net
 from .dpn import Dpn, DpnConfig, DPN_CONFIGS, dpn
+from .ecapa import Ecapa, EcapaConfig, ECAPA_CONFIGS, ecapa
 
-MODEL_NAMES = ("tdnn",) + tuple(RES2NET_CONFIGS) + tuple(DPN_CONFIGS)
+MODEL_NAMES = (("tdnn",) + tuple(RES2NET_CONFIGS) + tuple(DPN_CONFIGS)
+               + tuple(ECAPA_CONFIGS))
 
 
 def get_model(name: str, dtype=None, remat: bool = False, remat_policy=None):
@@ -22,4 +25,6 @@ def get_model(name: str, dtype=None, remat: bool = False, remat_policy=None):
         return res2net(name, dtype=dtype, remat=remat, remat_policy=remat_policy)
     if name in DPN_CONFIGS:
         return dpn(name, dtype=dtype)
+    if name in ECAPA_CONFIGS:
+        return ecapa(name, dtype=dtype)
     raise ValueError(f"unknown model {name!r}; available: {MODEL_NAMES}")

@@ -282,16 +282,27 @@ class Dense(fnn.Module):
 
 
 class SqueezeExcitation(fnn.Module):
-    """Squeeze-and-excitation over (H, W) (ref models.py:313-326)."""
+    """Squeeze-and-excitation over (H, W) (ref models.py:313-326).
+
+    ``mask``: optional (B, T) validity mask -- the squeeze mean then runs
+    over valid frames only (x must already be zero at masked positions), so
+    padded batched inference matches the exact-length forward."""
 
     ratio: int = 16
     dtype: Optional[Dtype] = None
 
     @fnn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
         channels = x.shape[-1]
         assert channels % self.ratio == 0
-        scale = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(x.dtype)
+        x32 = x.astype(jnp.float32)
+        if mask is None:
+            scale = jnp.mean(x32, axis=(1, 2), keepdims=True).astype(x.dtype)
+        else:
+            m = mask[:, : x.shape[1]].astype(jnp.float32)
+            denom = jnp.maximum(jnp.sum(m, axis=1), 1.0) * x.shape[2]
+            scale = (jnp.sum(x32, axis=(1, 2), keepdims=True)
+                     / denom[:, None, None, None]).astype(x.dtype)
         scale = Conv2d(channels // self.ratio, 1, dtype=self.dtype, name="squeeze")(scale)
         scale = jax.nn.relu(scale)
         scale = Conv2d(channels, 1, dtype=self.dtype, name="excite")(scale)

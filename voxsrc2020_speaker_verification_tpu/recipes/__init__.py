@@ -119,6 +119,21 @@ def tdnn_voxsrc2020_vox1_dev_aug(model: str = "tdnn", **overrides):
                        VOX1_DEV_SPEAKERS, **overrides)
 
 
+@recipe("ecapa_vox2_dev_aug")
+def ecapa_vox2_dev_aug(model: str = "ecapa_tdnn_512", **overrides):
+    """Framework extension (no reference counterpart): ECAPA-TDNN on
+    5x-augmented VoxCeleb2-dev with AAM-softmax (arXiv:2005.07143 §3 uses
+    AAM s=30 m=0.2; we keep this framework's s=32 and margin schedule)."""
+    cfg = TrainConfig(
+        model=model, projection="aam_linear", scale=32.0, margin=0.2,
+        num_classes=VOX2_DEV_SPEAKERS, dataset="voxceleb2_dev_aug",
+        dataset_length=VOX2_DEV_UTTS * 5, feat_dim=80, feat_length=200,
+        batch_size=256, num_accumulation_steps=4, total_epochs=23,
+        specaug=True,
+    )
+    return _apply(cfg, overrides), None
+
+
 @recipe("dpn_voxsrc2020_vox2_dev_aug")
 def dpn_voxsrc2020_vox2_dev_aug(model: str = "dpn68", **overrides):
     """ref scripts_for_40.../run_dpn_local_voxsrc2020_vox2_dev_aug.sh."""
