@@ -49,15 +49,45 @@ def main():
         bf16=True,
     )
 
-    state = create_train_state(config, jax.random.PRNGKey(0))
-    step = jax.jit(make_train_step(config), donate_argnums=0)
+    n_chips = jax.device_count()
+    if n_chips > 1:
+        # Multi-chip: data-parallel over all chips at constant per-chip batch
+        # (weak scaling); reported value stays per-chip for comparability.
+        import dataclasses
+        import math
+        n_data = math.gcd(n_chips, 256) or 1
+        config = dataclasses.replace(
+            config, batch_size=config.batch_size * n_data)
+        from voxsrc2020_speaker_verification_tpu.parallel import (
+            batch_spec, make_mesh, param_shardings,
+        )
+        from jax.sharding import NamedSharding
+        mesh = make_mesh(num_data=n_data, num_model=1,
+                         devices=jax.devices()[:n_data])
+        state = create_train_state(config, jax.random.PRNGKey(0))
+        state_shardings = param_shardings(mesh, jax.eval_shape(lambda: state))
+        state = jax.device_put(state, state_shardings)
+        data_sharding = NamedSharding(mesh, batch_spec())
+        step = jax.jit(
+            make_train_step(config),
+            in_shardings=(state_shardings, data_sharding, data_sharding, None),
+            out_shardings=(state_shardings, None),
+            donate_argnums=0,
+        )
+        put = lambda x: jax.device_put(x, data_sharding)
+    else:
+        n_data = 1
+        state = create_train_state(config, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(config), donate_argnums=0)
+        put = lambda x: x
 
     a, b = config.num_accumulation_steps, config.batch_size
-    feats = jax.random.normal(
+    feats = put(jax.random.normal(
         jax.random.PRNGKey(1), (a, b, config.feat_length, config.feat_dim),
         jnp.float32,
-    )
-    labels = jax.random.randint(jax.random.PRNGKey(2), (a, b), 0, config.num_classes)
+    ))
+    labels = put(jax.random.randint(
+        jax.random.PRNGKey(2), (a, b), 0, config.num_classes))
     rng = jax.random.PRNGKey(3)
 
     # Warmup (compile + first steps).  NB: on the axon TPU tunnel,
@@ -75,7 +105,8 @@ def main():
     dt = time.perf_counter() - t0
 
     steps_per_s = iters / dt
-    audio_s_per_s = steps_per_s * config.effective_batch * (config.feat_length / 100.0)
+    audio_s_per_s = (steps_per_s * config.effective_batch
+                     * (config.feat_length / 100.0) / n_data)
 
     print(json.dumps({
         "metric": "train_throughput_res2net50_w8_s6_c16",
