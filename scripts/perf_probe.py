@@ -49,18 +49,22 @@ def main():
     model = sys.argv[1] if len(sys.argv) > 1 else "res2net50_w8_s6_c16"
     bs = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     accum = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    # arg 4: "remat" | "remat:<policy>" | "remat@0,1" (stage-selective)
     remat = len(sys.argv) > 4 and sys.argv[4].startswith("remat")
     policy = sys.argv[4].split(":", 1)[1] if remat and ":" in sys.argv[4] else None
+    stages = (tuple(int(i) for i in sys.argv[4].split("@", 1)[1].split(","))
+              if remat and "@" in sys.argv[4] else None)
 
     config = TrainConfig(
         model=model, projection="sc_cm_linear", num_classes=5994,
         dataset_length=5_460_045, feat_dim=80, feat_length=200,
         batch_size=bs, num_accumulation_steps=accum, bf16=True, remat=remat,
-        remat_policy=policy,
+        remat_policy=policy, remat_stages=stages,
     )
     dev = jax.devices()[0]
     print(f"# {dev.platform} {getattr(dev, 'device_kind', '?')} "
-          f"model={model} bs={bs} accum={accum} remat={remat} policy={policy}",
+          f"model={model} bs={bs} accum={accum} remat={remat} policy={policy} "
+          f"stages={stages}",
           file=sys.stderr)
 
     state = create_train_state(config, jax.random.PRNGKey(0))

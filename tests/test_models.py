@@ -188,7 +188,8 @@ def test_remat_and_policy_preserve_forward():
     variables = base.init(jax.random.PRNGKey(0), x, False)
     want = base.apply(variables, x, False)
     for kwargs in ({"remat": True},
-                   {"remat": True, "remat_policy": "dots_saveable"}):
+                   {"remat": True, "remat_policy": "dots_saveable"},
+                   {"remat": True, "remat_stages": (0, 1)}):
         got = gm("res2net50_w8_s6_c16", **kwargs).apply(variables, x, False)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-6, atol=1e-6)

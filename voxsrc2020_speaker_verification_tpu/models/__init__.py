@@ -16,13 +16,15 @@ MODEL_NAMES = (("tdnn",) + tuple(RES2NET_CONFIGS) + tuple(DPN_CONFIGS)
                + tuple(ECAPA_CONFIGS))
 
 
-def get_model(name: str, dtype=None, remat: bool = False, remat_policy=None):
+def get_model(name: str, dtype=None, remat: bool = False, remat_policy=None,
+              remat_stages=None):
     """Build a model by recipe id. dtype is the compute dtype (bf16 for train);
     remat enables per-block rematerialization (res2net family)."""
     if name == "tdnn":
         return tdnn(dtype=dtype)
     if name in RES2NET_CONFIGS:
-        return res2net(name, dtype=dtype, remat=remat, remat_policy=remat_policy)
+        return res2net(name, dtype=dtype, remat=remat,
+                       remat_policy=remat_policy, remat_stages=remat_stages)
     if name in DPN_CONFIGS:
         return dpn(name, dtype=dtype)
     if name in ECAPA_CONFIGS:

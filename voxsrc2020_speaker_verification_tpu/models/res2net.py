@@ -179,6 +179,11 @@ class Res2Net(fnn.Module):
     remat_policy: Optional[str] = None  # jax.checkpoint_policies name, e.g.
                          # "dots_saveable": save MXU outputs inside remat'd
                          # blocks, recompute only elementwise chains
+    remat_stages: Optional[Tuple[int, ...]] = None  # with remat=True, apply
+                         # it only to these 0-based stages. Early stages hold
+                         # the largest (un-downsampled) activations, so
+                         # remat_stages=(0, 1) buys most of the memory back
+                         # for a fraction of the recompute tax
 
     @fnn.compact
     def __call__(
@@ -207,12 +212,16 @@ class Res2Net(fnn.Module):
             policy = (getattr(jax.checkpoint_policies, self.remat_policy)
                       if self.remat_policy else None)
             # static_argnums: (2,) = `training` (bool drives BN mode)
-            block_cls = fnn.remat(BottleneckBlockV1, static_argnums=(2,),
+            remat_cls = fnn.remat(BottleneckBlockV1, static_argnums=(2,),
                                   policy=policy)
         for i, num_blocks in enumerate(cfg.block_sizes):
+            stage_cls = block_cls
+            if self.remat and (self.remat_stages is None
+                               or i in self.remat_stages):
+                stage_cls = remat_cls
             for j in range(num_blocks):
                 strides = cfg.block_strides[i] if j == 0 else 1
-                x = block_cls(
+                x = stage_cls(
                     filters=cfg.num_filters[i], strides=strides,
                     use_projection=(j == 0), split=cfg.split, width=cfg.width[i],
                     dtype=self.dtype, name=f"layer{i + 1}_block{j + 1}",
@@ -248,6 +257,7 @@ RES2NET_CONFIGS = {
 
 
 def res2net(name: str, dtype=None, remat: bool = False,
-            remat_policy=None) -> Res2Net:
+            remat_policy=None, remat_stages=None) -> Res2Net:
     return Res2Net(config=RES2NET_CONFIGS[name], dtype=dtype, remat=remat,
-                   remat_policy=remat_policy)
+                   remat_policy=remat_policy,
+                   remat_stages=tuple(remat_stages) if remat_stages else None)

@@ -48,6 +48,9 @@ class TrainConfig:
     bf16: bool = True
     specaug: bool = False
     remat: bool = False   # per-block rematerialization (large models / batches)
+    remat_stages: Optional[tuple] = None  # with remat: apply only to these
+                          # 0-based res2net stages (early stages hold the
+                          # biggest activations; (0, 1) is the sweet spot)
     remat_policy: Optional[str] = None  # jax.checkpoint_policies name for
                           # selective remat, e.g. "dots_saveable" keeps MXU
                           # outputs and recomputes only elementwise chains

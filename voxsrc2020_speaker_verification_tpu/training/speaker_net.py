@@ -26,13 +26,15 @@ class SpeakerNet(fnn.Module):
     dtype: Optional[Any] = None
     remat: bool = False
     remat_policy: Optional[str] = None
+    remat_stages: Optional[tuple] = None
     bn_groups: int = 1  # >1: per-replica BN statistics over G batch groups
                         # (the reference's Horovod BN, models.py:62-73)
 
     def setup(self):
         self.encoder = get_model(self.model_name, dtype=self.dtype,
                                  remat=self.remat,
-                                 remat_policy=self.remat_policy)
+                                 remat_policy=self.remat_policy,
+                                 remat_stages=self.remat_stages)
         self.projection = MarginProjection(
             num_classes=self.num_classes, kind=self.projection_id,
             num_centers=self.num_centers, dtype=self.dtype, name="projection",

@@ -60,6 +60,7 @@ def build_speaker_net(config: TrainConfig) -> SpeakerNet:
         dtype=jnp.bfloat16 if config.bf16 else None,
         remat=config.remat,
         remat_policy=config.remat_policy,
+        remat_stages=config.remat_stages,
         bn_groups=config.bn_groups,
     )
 
