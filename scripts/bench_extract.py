@@ -79,7 +79,8 @@ def main():
 
         t0 = time.perf_counter()
         emb = extract_embeddings(fn, counted(), batch_size=batch_size)
-        # value fetch: remote futures make block_until_ready a no-op on axon
+        # extract_embeddings materializes every result via np.asarray inside
+        # each flush, so all device work is already synchronized here.
         _ = float(next(iter(emb.values()))[0])
         dt = time.perf_counter() - t0
         return total_frames[0] / 100.0, dt, len(emb)

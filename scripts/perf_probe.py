@@ -50,10 +50,12 @@ def main():
     bs = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     accum = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     # arg 4: "remat" | "remat:<policy>" | "remat@0,1" (stage-selective)
-    remat = len(sys.argv) > 4 and sys.argv[4].startswith("remat")
-    policy = sys.argv[4].split(":", 1)[1] if remat and ":" in sys.argv[4] else None
-    stages = (tuple(int(i) for i in sys.argv[4].split("@", 1)[1].split(","))
-              if remat and "@" in sys.argv[4] else None)
+    remat_arg = sys.argv[4] if len(sys.argv) > 4 else ""
+    remat = remat_arg.startswith("remat")
+    stages = (tuple(int(i) for i in remat_arg.split("@", 1)[1].split(","))
+              if remat and "@" in remat_arg else None)
+    remat_head = remat_arg.split("@", 1)[0]  # "remat" or "remat:<policy>"
+    policy = remat_head.split(":", 1)[1] if remat and ":" in remat_head else None
 
     config = TrainConfig(
         model=model, projection="sc_cm_linear", num_classes=5994,

@@ -60,6 +60,10 @@ class MarginProjection(fnn.Module):
     kind: str = "sc_cm_linear"
     num_centers: int = 2  # for sc_* variants (ref K=2)
     hard_margin: float = 0.1  # hcm_linear (ref tf_projection.py:136)
+    # hcm_linear's margin is a (rotation, additive) *tuple* in the reference,
+    # defaulted to (0.2, 0.1); the scheduled scalar maps to margin[0] and the
+    # additive term stays fixed at margin[1]=0.1 (ref tf_projection.py:135,153).
+    hcm_additive_margin: float = 0.1
     dtype: Optional[Any] = None
 
     @fnn.compact
@@ -119,7 +123,9 @@ class MarginProjection(fnn.Module):
             elif self.kind == "cm_linear_voxsrc2020":
                 margin_1 = margin / 2.0
             elif self.kind == "hcm_linear":
-                margin_1 = 0.5 * margin * margin
+                # Fixed additive term margin[1]=0.1 (ref tf_projection.py:153),
+                # NOT the 0.5*m^2 used by the cm family.
+                margin_1 = jnp.float32(self.hcm_additive_margin)
             else:
                 raise ValueError(self.kind)
             sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))

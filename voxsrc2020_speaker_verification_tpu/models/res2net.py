@@ -260,4 +260,5 @@ def res2net(name: str, dtype=None, remat: bool = False,
             remat_policy=None, remat_stages=None) -> Res2Net:
     return Res2Net(config=RES2NET_CONFIGS[name], dtype=dtype, remat=remat,
                    remat_policy=remat_policy,
-                   remat_stages=tuple(remat_stages) if remat_stages else None)
+                   remat_stages=(tuple(remat_stages)
+                                 if remat_stages is not None else None))
