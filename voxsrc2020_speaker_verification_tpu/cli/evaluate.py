@@ -36,6 +36,8 @@ def main(argv=None) -> None:
     p.add_argument("--p-target", type=float, default=0.01)
     p.add_argument("--out-dir", default=None,
                    help="where to write xvectors/scores (default: data dirs)")
+    p.add_argument("--num-devices", type=int, default=0,
+                   help="devices to fan extraction over (0 = all local)")
     args = p.parse_args(argv)
 
     import pickle
@@ -64,7 +66,8 @@ def main(argv=None) -> None:
             print(f"extracting {data_dir} ...")
             os.makedirs(os.path.dirname(prefix), exist_ok=True)
             scp = extract_dataset(args.artifact, data_dir, prefix,
-                                  batch_size=args.batch_size)
+                                  batch_size=args.batch_size,
+                                  num_devices=args.num_devices)
         return scp
 
     xvec = {u: l2norm(v) for u, v in

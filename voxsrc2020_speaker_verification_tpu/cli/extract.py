@@ -131,15 +131,30 @@ def extract_dataset(
     scp_name: str = None,
     raw: bool = False,
     progress_every: int = 2000,
+    num_devices: int = 0,
 ) -> str:
     """Extract embeddings for every utterance in a data dir -> ark/scp.
     `raw` streams wav.scp with on-device FBANK instead of a feature scp.
+    `num_devices` > 1 fans the batch axis out over a device mesh (GSPMD
+    data parallelism, the reference's 8-GPU extraction fan-out
+    eval_inference_model.sh:27-40); 0 = all local devices.
     Returns the scp path."""
+    import jax
+
     from ..data import kaldi_io
     from ..eval.export import load_inference_artifact
     from ..eval.extract import extract_embeddings, make_bucketed_embed_fn
 
-    config, embed = load_inference_artifact(artifact_dir)
+    mesh = None
+    n_dev = num_devices if num_devices > 0 else len(jax.devices())
+    if n_dev > 1:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("data",))
+        if batch_size % n_dev:
+            batch_size = -(-batch_size // n_dev) * n_dev  # round up
+
+    config, embed = load_inference_artifact(artifact_dir, mesh=mesh)
     fn = make_bucketed_embed_fn(embed, batch_size=batch_size)
 
     if raw:
@@ -180,12 +195,15 @@ def main(argv=None) -> None:
     p.add_argument("--cmn-window", type=int, default=300)
     p.add_argument("--raw", action="store_true",
                    help="stream wav.scp with on-device FBANK (no feature store)")
+    p.add_argument("--num-devices", type=int, default=0,
+                   help="devices to fan the batch over (0 = all local)")
     args = p.parse_args(argv)
 
     scp = extract_dataset(
         args.artifact, args.data_dir, args.out,
         scp_name=args.scp_name, batch_size=args.batch_size,
         cmn_window=args.cmn_window, raw=args.raw,
+        num_devices=args.num_devices,
     )
     print(f"embeddings at {scp}")
 

@@ -115,6 +115,60 @@ def download_archives(url_manifest: str, out_root: str, workers: int = 4) -> int
     return len(urls)
 
 
+MANIFEST_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data", "manifests")
+DEFAULT_URLS = os.path.join(MANIFEST_DIR, "vox_urls.txt")
+DEFAULT_MD5 = os.path.join(MANIFEST_DIR, "vox_md5.txt")
+DEFAULT_TRIALS = os.path.join(MANIFEST_DIR, "trials_urls.txt")
+
+# Multi-part archives are concatenated back into the zips whose md5s the
+# manifest also carries (ref prepare_data.sh:201-203).
+ARCHIVE_PARTS = {
+    "vox1_dev_wav.zip": [f"vox1_dev_wav_parta{c}" for c in "abcd"],
+    "vox2_dev_aac.zip": [f"vox2_dev_aac_parta{c}" for c in "abcdefgh"],
+}
+
+
+def assemble_archives(archive_root: str) -> list:
+    """cat part files into their combined zips (ref prepare_data.sh:201-202).
+    Returns the archives assembled; skips ones already present or whose
+    parts are incomplete."""
+    made = []
+    for zip_name, parts in ARCHIVE_PARTS.items():
+        dst = os.path.join(archive_root, zip_name)
+        srcs = [os.path.join(archive_root, p) for p in parts]
+        if os.path.exists(dst) or not all(os.path.exists(s) for s in srcs):
+            continue
+        with open(dst + ".tmp", "wb") as out:
+            for s in srcs:
+                with open(s, "rb") as f:
+                    while chunk := f.read(1 << 24):
+                        out.write(chunk)
+        os.rename(dst + ".tmp", dst)
+        made.append(zip_name)
+    return made
+
+
+def download_trials(manifest: str, out_dir: str) -> int:
+    """Fetch the cleaned VoxCeleb1 trial lists (ref prepare_data.sh:205-216).
+    Manifest lines: '<url> <target filename>'."""
+    import subprocess
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    with open(manifest) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            url, name = line.split()
+            subprocess.run(
+                ["wget", "-q", "-O", os.path.join(out_dir, name), url],
+                check=True)
+            n += 1
+    return n
+
+
 def verify_md5(manifest: str, root: str) -> list:
     """Check downloaded archives against a 'md5 filename' manifest
     (ref prepare_data.sh:199, md5sum_vox.txt). Returns mismatched names."""
@@ -169,15 +223,19 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--stage", type=int, required=True, choices=[0, 1, 2, 3, 4, 5])
-    p.add_argument("--url-manifest", default=None,
-                   help="stage 0: file of archive URLs to wget")
+    p.add_argument("--url-manifest", default=DEFAULT_URLS,
+                   help="stage 0: file of archive URLs to wget "
+                        "(default: bundled VoxCeleb/RIRS/MUSAN manifest)")
+    p.add_argument("--trials-manifest", default=DEFAULT_TRIALS,
+                   help="stage 0: trial-list manifest "
+                        "('<url> <name>' lines; bundled default)")
     p.add_argument("--data-root", default="data")
     p.add_argument("--dataset", default="voxceleb2_dev")
     p.add_argument("--wav-root", default=None)
     p.add_argument("--musan-root", default=None)
     p.add_argument("--rirs-root", default=None)
     p.add_argument("--archive-root", default=None)
-    p.add_argument("--md5-manifest", default=None)
+    p.add_argument("--md5-manifest", default=DEFAULT_MD5)
     p.add_argument("--feat-dim", type=int, default=80)
     p.add_argument("--dither-seed", type=int, default=None)
     p.add_argument("--num-shards", type=int, nargs="+", default=[8, 16, 32])
@@ -189,9 +247,22 @@ def main(argv=None) -> None:
         assert args.url_manifest and args.archive_root
         n = download_archives(args.url_manifest, args.archive_root)
         print(f"downloaded {n} archives")
+        t = download_trials(
+            args.trials_manifest,
+            os.path.join(args.data_root, "voxceleb1_trials"))
+        print(f"downloaded {t} trial lists")
     elif args.stage == 1:
         assert args.md5_manifest and args.archive_root
+        made = assemble_archives(args.archive_root)
+        if made:
+            print("assembled:", *made)
         bad = verify_md5(args.md5_manifest, args.archive_root)
+        # part files may have been cleaned up post-assembly; only the
+        # combined zips are required downstream
+        bad = [b for b in bad
+               if not (b.endswith("(missing)")
+                       and any(b.split()[0] in parts
+                               for parts in ARCHIVE_PARTS.values()))]
         if bad:
             print("MD5 FAILURES:", *bad, sep="\n  ")
             sys.exit(1)

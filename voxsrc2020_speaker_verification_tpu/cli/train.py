@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--no-checkpoint", action="store_true")
+    p.add_argument("--save-every-steps", type=int, default=None,
+                   help="mid-epoch checkpoint cadence (preemption safety; "
+                        "per-epoch checkpoints always happen)")
     p.add_argument("--specaug", action="store_true")
     p.add_argument("--num-model-shards", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
@@ -163,7 +166,11 @@ def main(argv=None) -> None:
             log_every=args.log_every,
             max_steps=args.max_steps,
             checkpoint=not args.no_checkpoint,
+            save_every_steps=args.save_every_steps,
         )
+        if result.preempted:
+            print(f"preempted at step {int(result.state.step)} "
+                  "(checkpoint saved)")
         print(f"done: {result.steps_run} steps, "
               f"{result.audio_seconds_per_second:.0f} audio-s/s")
     finally:

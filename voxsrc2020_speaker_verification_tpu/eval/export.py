@@ -95,8 +95,16 @@ def export_inference_artifact(
     return out_dir
 
 
-def load_inference_artifact(artifact_dir: str):
-    """-> (config, embed_fn(feats (B,T,F), mask (B,T)) -> (B, D) jitted)."""
+def load_inference_artifact(artifact_dir: str, mesh=None):
+    """-> (config, embed_fn(feats (B,T,F), mask (B,T)) -> (B, D) jitted).
+
+    With ``mesh`` (a 1-D ``jax.sharding.Mesh``), the embed fn is GSPMD
+    data-parallel: variables replicated, the batch axis sharded over the
+    mesh -- the TPU-native replacement for the reference's one-process-per-
+    GPU extraction fan-out (ref eval_inference_model.sh:27-40).  Numerics
+    are identical to single-device; batches must be divisible by the mesh
+    size (make_bucketed_embed_fn's fixed batch padding guarantees this).
+    """
     import orbax.checkpoint as ocp
 
     config = TrainConfig.from_json(os.path.join(artifact_dir, "config.json"))
@@ -107,11 +115,19 @@ def load_inference_artifact(artifact_dir: str):
     net = build_speaker_net(config)
     from ..training.speaker_net import SpeakerNet
 
-    @jax.jit
-    def embed(feats, mask):
+    def apply(feats, mask):
         return net.apply(
             {"params": variables["params"], "batch_stats": variables["batch_stats"]},
             feats, mask, method=SpeakerNet.embed,
         )
 
+    if mesh is None:
+        return config, jax.jit(apply)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    batch = NamedSharding(mesh, P(axis))
+    variables = jax.device_put(variables, NamedSharding(mesh, P()))
+    embed = jax.jit(apply, in_shardings=(batch, batch), out_shardings=batch)
     return config, embed

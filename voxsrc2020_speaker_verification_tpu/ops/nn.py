@@ -122,6 +122,11 @@ class _GroupedBN(fnn.Module):
     of the group moments (the reference keeps per-replica moving stats and
     checkpoints rank 0's copy; with iid shards these converge to the same
     values, and a single canonical copy keeps the checkpoint layout sane).
+
+    The running *variance* update uses the Bessel-corrected (unbiased)
+    variance, matching TF's fused batch norm exactly (verified against
+    tf.layers.batch_normalization in tests/test_trainer_oracle.py);
+    normalization itself uses the biased variance, also like TF.
     """
 
     groups: int
@@ -148,10 +153,19 @@ class _GroupedBN(fnn.Module):
         var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
 
         if not self.is_initializing():
+            # TF parity (tests/test_trainer_oracle.py): the fused batch norm
+            # the reference uses on 4-D activations updates moving variance
+            # with the Bessel-corrected (unbiased) variance, but on 2-D head
+            # inputs (flatten->BN->dense->BN, ref tdnn_model.py:143-151)
+            # Keras silently falls back to the non-fused path, which updates
+            # with the biased variance.  Mirror both.
+            n = x32.size // (g * c)  # elements reduced per channel per group
+            bessel = n / (n - 1) if (n > 1 and x.ndim >= 4) else 1.0
             ra_mean.value = (self.momentum * ra_mean.value
                              + (1.0 - self.momentum) * jnp.mean(mean, axis=0))
             ra_var.value = (self.momentum * ra_var.value
-                            + (1.0 - self.momentum) * jnp.mean(var, axis=0))
+                            + (1.0 - self.momentum) * bessel
+                            * jnp.mean(var, axis=0))
 
         bshape = (g,) + (1,) * len(axes) + (c,)
         y = (x32 - mean.reshape(bshape)) * jax.lax.rsqrt(
@@ -181,7 +195,9 @@ class BatchNorm(fnn.Module):
     def __call__(self, x: jax.Array, use_running_average: Optional[bool] = None) -> jax.Array:
         ura = self.use_running_average if use_running_average is None else use_running_average
         groups = _BN_GROUPS.get()
-        if groups > 1 and not ura:
+        if not ura and self.axis_name is None:
+            # Training: _GroupedBN (groups=1 == sync-BN) so the running-var
+            # update carries TF's Bessel correction (see _GroupedBN doc).
             return _GroupedBN(
                 groups=groups, momentum=self.momentum, epsilon=self.epsilon,
                 dtype=self.dtype, name="bn",

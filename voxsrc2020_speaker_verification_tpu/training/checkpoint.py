@@ -46,6 +46,8 @@ class CheckpointManager:
 
     def save(self, state: TrainState, step: Optional[int] = None) -> None:
         step = int(state.step) if step is None else int(step)
+        if step in self._mgr.all_steps():
+            return  # already checkpointed (e.g. SIGTERM on an epoch boundary)
         self._mgr.save(step, args=ocp.args.StandardSave(state))
 
     def latest_step(self) -> Optional[int]:

@@ -35,6 +35,7 @@ class FitResult:
     state: TrainState
     steps_run: int
     audio_seconds_per_second: float
+    preempted: bool = False
 
 
 class _PrefetchError:
@@ -85,11 +86,19 @@ def fit(
     max_steps: Optional[int] = None,
     checkpoint: bool = True,
     mesh=None,
+    save_every_steps: Optional[int] = None,
+    handle_preemption: bool = True,
 ) -> FitResult:
     """Train until `config.total_steps` (or `max_steps` more steps).
 
     batches: iterable of (feats (A, B, T, F) np.float32, labels (A, B) np.int32)
              -- e.g. a started BatchFeeder.
+
+    Preemption safety (TPU pods preempt; the reference only checkpoints per
+    epoch, tf_train_tdnn.py:311): `save_every_steps` adds mid-epoch
+    checkpoints, and -- when checkpointing is on and we're on the main
+    thread -- SIGTERM triggers a final checkpoint + clean return with
+    ``FitResult.preempted=True`` instead of losing the epoch.
     """
     exp_dir = exp_dir or config.exp_dir
     if mesh is None:
@@ -165,13 +174,24 @@ def fit(
             data_sharding, np.asarray(labels))
         return feats, labels
 
+    import signal
+    import threading
+
+    preempt = threading.Event()
+    prev_handler = None
+    trap_sigterm = (handle_preemption and mgr is not None
+                    and threading.current_thread() is threading.main_thread())
+    if trap_sigterm:
+        prev_handler = signal.signal(
+            signal.SIGTERM, lambda _sig, _frame: preempt.set())
+
     it = device_prefetch(iter(batches), globalize, depth=2)
     pending_metrics = None
     t_log = time.perf_counter()
     t_start = t_log
     steps_run = 0
     cur = start_step
-    while cur < stop_step:
+    while cur < stop_step and not preempt.is_set():
         feats, labels = next(it)
         state, metrics = step_fn(state, feats, labels, rng)
         cur += 1
@@ -193,20 +213,27 @@ def fit(
             )
             if metrics_writer is not None:
                 metrics_writer.write(cur, m, audio_s_per_s=rate)
-        if mgr is not None and cur % epoch_size == 0:
+        if mgr is not None and (
+                cur % epoch_size == 0
+                or (save_every_steps and cur % save_every_steps == 0)):
             mgr.save(state, step=cur)
 
     if pending_metrics is not None:
         jax.block_until_ready(pending_metrics)
     elapsed = time.perf_counter() - t_start
+    if preempt.is_set():
+        log_fn(f"SIGTERM at step {cur}: checkpointing and exiting")
     if mgr is not None:
-        if cur % epoch_size != 0 and steps_run:
+        if steps_run and (cur % epoch_size != 0 or preempt.is_set()):
             mgr.save(state, step=cur)
         mgr.close()
     if metrics_writer is not None:
         metrics_writer.close()
+    if trap_sigterm:
+        signal.signal(signal.SIGTERM, prev_handler)
     return FitResult(
         state=state,
         steps_run=steps_run,
         audio_seconds_per_second=steps_run * audio_s_per_step / max(elapsed, 1e-9),
+        preempted=preempt.is_set(),
     )

@@ -162,6 +162,7 @@ def import_reference_weights(
     values: Mapping[str, np.ndarray],
     model_name: str,
     projection_id: Optional[str] = None,
+    params_only: bool = False,
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Convert {tf_var_name: array} into (params, batch_stats) nested dicts.
 
@@ -179,6 +180,9 @@ def import_reference_weights(
         clean[k] = np.asarray(v)
 
     var_map = reference_var_map(model_name)
+    if params_only:
+        # e.g. optimizer slot snapshots: only trainables have slots.
+        var_map = {k: v for k, v in var_map.items() if v[0] == "params"}
     params: Dict[str, Any] = {}
     batch_stats: Dict[str, Any] = {}
 
