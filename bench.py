@@ -47,6 +47,7 @@ def main():
         num_accumulation_steps=4,
         total_epochs=23,
         bf16=True,
+        bn_groups=8,  # per-replica BN semantics, as the recipes set
     )
 
     n_chips = jax.device_count()
@@ -108,11 +109,45 @@ def main():
     audio_s_per_s = (steps_per_s * config.effective_batch
                      * (config.feat_length / 100.0) / n_data)
 
+    # Whole-system rate: the same step driven by the host feeder (synthetic
+    # source, bf16 wire, double-buffered device prefetch) -- covers batch
+    # assembly + host->device transfer, the honest end-to-end number.
+    from voxsrc2020_speaker_verification_tpu.data import (
+        BatchFeeder, SyntheticDataset,
+    )
+    from voxsrc2020_speaker_verification_tpu.training.loop import (
+        device_prefetch,
+    )
+
+    feeder = BatchFeeder(
+        [SyntheticDataset(config.feat_dim, config.feat_length,
+                          config.num_classes, seed=i) for i in range(4)],
+        config.batch_size, config.num_accumulation_steps, wire_bf16=True,
+    ).start()
+    try:
+        it = device_prefetch(
+            iter(feeder), lambda fl: (put(fl[0]), put(fl[1])), depth=2)
+        fb, lb = next(it)
+        state, metrics = step(state, fb, lb, rng)  # compile for bf16 feats
+        _ = float(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fb, lb = next(it)
+            state, metrics = step(state, fb, lb, rng)
+        _ = float(metrics["loss"])
+        sys_dt = time.perf_counter() - t0
+    finally:
+        feeder.stop()
+    sys_audio_s_per_s = (iters / sys_dt * config.effective_batch
+                         * (config.feat_length / 100.0) / n_data)
+
     print(json.dumps({
         "metric": "train_throughput_res2net50_w8_s6_c16",
         "value": round(audio_s_per_s, 1),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(audio_s_per_s / BASELINE_AUDIO_S_PER_S, 3),
+        "system_value": round(sys_audio_s_per_s, 1),
+        "system_note": "feeder-driven incl. host batch assembly + transfer",
     }))
 
 

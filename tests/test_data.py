@@ -207,3 +207,60 @@ class TestDataDirCopySubset:
         datadir.subset_data_dir(src, dst, ["u0", "u3"])
         assert set(datadir.read_two_column(os.path.join(dst, "wav.scp"))) == {"u0", "u3"}
         assert datadir.validate_data_dir(dst) == []
+
+
+def test_sliding_cmn_np_matches_device_op():
+    from voxsrc2020_speaker_verification_tpu.data.dataset import sliding_cmn_np
+    from voxsrc2020_speaker_verification_tpu.ops.cmvn import sliding_cmvn
+    rng = np.random.RandomState(0)
+    for t in (5, 80, 299, 300, 301, 700):
+        feat = rng.randn(t, 12).astype(np.float32) * 3
+        want = np.asarray(sliding_cmvn(feat, window=300, center=True))
+        got = sliding_cmn_np(feat, window=300)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5), t
+
+
+def test_feature_dataset_applies_sliding_cmn(tmp_path):
+    """Training features go through the full-utterance sliding-CMN window
+    BEFORE cropping, like the reference's apply-cmvn-sliding feeder pipe
+    (ref tf_train_tdnn.py:83)."""
+    from voxsrc2020_speaker_verification_tpu.data.dataset import sliding_cmn_np
+    rng = np.random.RandomState(1)
+    ark, scp = str(tmp_path / "c.ark"), str(tmp_path / "c.scp")
+    raw = rng.randn(70, 8).astype(np.float32) + 5.0
+    with kaldi_io.ArkScpWriter(ark, scp) as w:
+        w.write("u0", raw)
+    ds = FeatureShardDataset(scp, {}, feat_dim=8, feat_length=20,
+                             training=False)
+    feat, _ = next(iter(ds))
+    np.testing.assert_allclose(feat, sliding_cmn_np(raw), rtol=1e-6)
+    # opt-out restores the raw passthrough
+    ds2 = FeatureShardDataset(scp, {}, feat_dim=8, feat_length=20,
+                              training=False, sliding_cmn=False)
+    feat2, _ = next(iter(ds2))
+    np.testing.assert_array_equal(feat2, raw)
+
+
+def test_feeder_bf16_wire(tmp_path):
+    import ml_dtypes
+    ds = SyntheticDataset(feat_dim=8, feat_length=10, num_classes=5)
+    feeder = BatchFeeder([ds], batch_size=4, num_accumulation_steps=2,
+                         wire_bf16=True).start()
+    fb, lb = feeder.get(timeout=30)
+    feeder.stop()
+    assert fb.dtype == ml_dtypes.bfloat16 and fb.shape == (2, 4, 10, 8)
+    assert lb.dtype == np.int32
+
+    # a bf16-wire batch drives the jitted train step end to end
+    import jax
+    from voxsrc2020_speaker_verification_tpu.training import (
+        TrainConfig, create_train_state, make_train_step,
+    )
+    cfg = TrainConfig(model="tdnn", projection="sc_cm_linear", num_classes=5,
+                      dataset_length=64, feat_dim=8, feat_length=10,
+                      batch_size=4, num_accumulation_steps=2, bf16=True,
+                      specaug=True)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    state, m = step(state, fb, lb, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))

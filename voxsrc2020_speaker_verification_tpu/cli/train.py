@@ -157,7 +157,9 @@ def main(argv=None) -> None:
     assert config.batch_size % args.num_processes == 0
     local_batch = config.batch_size // args.num_processes
     feeder = BatchFeeder(
-        sources, local_batch, config.num_accumulation_steps
+        sources, local_batch, config.num_accumulation_steps,
+        # bf16 compute -> bf16 wire is lossless and halves the transfer
+        wire_bf16=config.bf16 and not args.raw and not args.synthetic,
     ).start()
     try:
         result = fit(

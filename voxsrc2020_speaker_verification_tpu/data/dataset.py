@@ -30,6 +30,22 @@ import numpy as np
 from . import kaldi_io
 
 
+def sliding_cmn_np(feat: np.ndarray, window: int = 300) -> np.ndarray:
+    """Host-side sliding cepstral mean normalization, identical to
+    ``apply-cmvn-sliding --norm-vars=false --center=true`` (the feature
+    read-spec the reference trainer pipes every utterance through BEFORE
+    cropping, ref tf_train_tdnn.py:83) and to ops.cmvn.sliding_cmvn
+    (cross-checked in tests/test_data.py).  O(T) via one cumulative sum."""
+    t, f = feat.shape
+    csum = np.zeros((t + 1, f), np.float64)
+    np.cumsum(feat, axis=0, out=csum[1:])
+    ts = np.arange(t)
+    start = np.clip(ts - window // 2, 0, max(0, t - window))
+    end = np.minimum(start + window, t)
+    mean = (csum[end] - csum[start]) / (end - start)[:, None]
+    return (feat - mean).astype(np.float32)
+
+
 class FeatureCropper:
     """Reference crop/pad policy (tf_data.py:84-101)."""
 
@@ -64,7 +80,11 @@ class FeatureShardDataset:
         skip_percent: int = 10,
         transform: Optional[Callable[[np.ndarray], np.ndarray]] = None,
         seed: int = 0,
+        sliding_cmn: bool = True,
+        cmn_window: int = 300,
     ):
+        self.sliding_cmn = sliding_cmn
+        self.cmn_window = cmn_window
         self.scp_path = scp_path
         self.utt2id = utt2id
         self.feat_dim = feat_dim
@@ -93,6 +113,10 @@ class FeatureShardDataset:
                     return
                 gen = kaldi_io.read_mat_scp(self.scp_path)
                 utt, feat = next(gen)
+            if self.sliding_cmn:
+                # full-utterance window BEFORE cropping, like the reference's
+                # apply-cmvn-sliding feeder pipe (tf_train_tdnn.py:83)
+                feat = sliding_cmn_np(feat, self.cmn_window)
             if self.mean is not None:
                 feat = (feat - self.mean) / self.std
             if self.transform is not None:
@@ -138,7 +162,19 @@ class BatchFeeder:
         batch_size: int,
         num_accumulation_steps: int = 1,
         queue_depth: int = 2,
+        wire_bf16: bool = False,
     ):
+        # bf16 wire format halves the host->device feature transfer.  With
+        # bf16 compute (TrainConfig.bf16) it is lossless: the first conv
+        # casts its input to bf16 anyway, so quantizing on the host moves
+        # the cast across the wire instead of adding one.  (The raw-audio
+        # path gets the same effect from int16 waveforms,
+        # data/raw_dataset.py.)
+        self.wire_dtype = None
+        if wire_bf16:
+            import ml_dtypes
+
+            self.wire_dtype = np.dtype(ml_dtypes.bfloat16)
         self.sources = list(sources)
         self.batch_size = batch_size
         self.num_accum = num_accumulation_steps
@@ -186,6 +222,8 @@ class BatchFeeder:
                 )
             else:
                 fb = np.stack(feats).reshape(a, b, *feats[0].shape)
+                if self.wire_dtype is not None:
+                    fb = fb.astype(self.wire_dtype)
             lb = np.asarray(labels, np.int32).reshape(a, b)
             while not self._stop.is_set():
                 try:

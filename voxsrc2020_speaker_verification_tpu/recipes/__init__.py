@@ -10,6 +10,14 @@ one global per-microbatch ``batch_size`` here (sharded over the ``data``
 mesh axis); effective batch = 1024 in every recipe, matching
 ``dataset_length // 32 // 4 // 8`` step counts (SURVEY.md §2 dataset table).
 
+BN policy: every reference-parity recipe sets ``bn_groups=8`` so batch-norm
+statistics are computed per group of ``batch_size/8`` examples -- the
+reference's per-replica BN at world size 8 (ref models.py:62-73; sync-BN is
+commented out there).  This keeps the BN-statistics noise scale identical
+to the reference runs whose EERs BASELINE.md records, independent of how
+many physical chips the batch is sharded over.  Extension recipes (ecapa)
+keep global sync-BN (``bn_groups=1``).
+
 | recipe                          | reference script                                  |
 |---------------------------------|---------------------------------------------------|
 | res2net_vox2_dev_aug            | run_res2net_local_vox2_dev_aug.sh                 |
@@ -57,6 +65,7 @@ def res2net_vox2_dev_aug(model: str = "res2net50_w24_s4_c64", **overrides):
         num_classes=VOX2_DEV_SPEAKERS, dataset="voxceleb2_dev_aug",
         dataset_length=VOX2_DEV_UTTS * 5, feat_dim=80, feat_length=200,
         batch_size=256, num_accumulation_steps=4, total_epochs=23,
+        bn_groups=8,
     )
     return _apply(cfg, overrides), None
 
@@ -93,6 +102,7 @@ def _voxsrc2020(model, _dataset, _dataset_length, _num_classes, **overrides):
         num_classes=_num_classes, dataset=_dataset, dataset_length=_dataset_length,
         feat_dim=40, feat_length=320,
         batch_size=1024, num_accumulation_steps=1, total_epochs=23,
+        bn_groups=8,
     )
     return _apply(cfg, overrides), None
 
