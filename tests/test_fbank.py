@@ -97,3 +97,55 @@ def test_dither_changes_output_but_is_small(wave):
     assert not np.allclose(clean, dithered)
     # dither is 1 LSB of int16 -- tiny vs the signal
     assert np.abs(clean - dithered).mean() < 0.5
+
+
+def test_high_freq_negative_offset():
+    """high_freq <= 0 is an offset from Nyquist (Kaldi convention); the mel
+    bank must span [low, nyquist + high_freq] and stay in range."""
+    import numpy as np
+    from voxsrc2020_speaker_verification_tpu.ops.fbank import (
+        FbankConfig, mel_banks, fbank,
+    )
+    cfg = FbankConfig(num_bins=40, high_freq=-400.0, dither=0.0)
+    m = mel_banks(cfg)
+    assert m.shape == (256, 40) and np.isfinite(m).all()
+    # bins at/above nyquist-400 Hz get no weight
+    fft_freqs = cfg.sample_rate / cfg.padded_frame_length * np.arange(256)
+    assert m[fft_freqs >= 8000 - 400].sum() == 0.0
+    wave = (1000 * np.sin(0.05 * np.arange(8000))).astype(np.float32)
+    out = np.asarray(fbank(wave[None], cfg))
+    assert np.isfinite(out).all()
+
+
+def test_high_freq_invalid_rejected():
+    import numpy as np
+    import pytest
+    from voxsrc2020_speaker_verification_tpu.ops.fbank import (
+        FbankConfig, mel_banks,
+    )
+    with pytest.raises(AssertionError):
+        mel_banks(FbankConfig(num_bins=40, high_freq=9000.0))  # > nyquist
+    with pytest.raises(AssertionError):
+        mel_banks(FbankConfig(num_bins=40, low_freq=7900.0, high_freq=-200.0))
+
+
+def test_padded_garbage_frame_contract():
+    """fbank() on padded waveforms: frames past num_frames(true_len) are
+    garbage BY CONTRACT and must be masked downstream; frames before it
+    must equal the unpadded computation exactly."""
+    import numpy as np
+    from voxsrc2020_speaker_verification_tpu.ops.fbank import (
+        FbankConfig, fbank, num_frames, num_frames_batch,
+    )
+    cfg = FbankConfig(num_bins=40, dither=0.0)
+    rng = np.random.RandomState(0)
+    true_len = 9600
+    wave = (3000 * rng.randn(true_len)).astype(np.float32)
+    padded = np.zeros(16000, np.float32)
+    padded[:true_len] = wave
+    t = num_frames(true_len, cfg)
+    assert int(num_frames_batch(np.asarray([true_len]), cfg)[0]) == t
+    a = np.asarray(fbank(wave[None], cfg))[0]
+    b = np.asarray(fbank(padded[None], cfg))[0]
+    np.testing.assert_array_equal(b[:t], a[:t])
+    assert b.shape[0] > t  # garbage tail exists -> masking is mandatory

@@ -72,5 +72,7 @@ def test_save_every_steps(tmp_path):
     mgr = CheckpointManager(str(exp))
     steps = set(mgr._mgr.all_steps())
     mgr.close()
-    # mid-epoch cadence (7,14,...) plus the per-epoch saves (40, 80)
-    assert {7, 14, 40, 80} <= steps
+    # newest max_to_keep survive; the cadence leaves mid-epoch steps kept
+    assert 80 in steps
+    assert any(s % 40 for s in steps), steps  # a mid-epoch checkpoint exists
+    assert all(s % 7 == 0 or s % 40 == 0 for s in steps), steps

@@ -200,3 +200,73 @@ class TestCreateDataset:
         assert datadir.validate_data_dir(d) == []
         utt2dur = datadir.read_two_column(os.path.join(d, "utt2dur"))
         assert abs(float(utt2dur["id001-vid-00000"]) - 0.6) < 0.01
+
+
+class TestRirListMachinery:
+    """The reference's general RIR-metadata path
+    (reverberate_data_dir.py:458-551): parsing, probability smoothing,
+    room grouping, and room-then-RIR sampling."""
+
+    def _rir_list(self, tmp_path, room_sizes, name="rir_list"):
+        lines = []
+        for room, n in room_sizes.items():
+            for i in range(n):
+                lines.append(
+                    f"--rir-id {room}-{i:03d} --room-id {room} "
+                    f"/rirs/{room}/rir{i}.wav")
+        p = tmp_path / name
+        p.write_text("\n".join(lines) + "\n")
+        return str(p)
+
+    def test_smooth_probabilities(self):
+        from voxsrc2020_speaker_verification_tpu.data.augment import (
+            smooth_probabilities,
+        )
+        # all unspecified -> uniform
+        assert smooth_probabilities([None, None]) == [0.5, 0.5]
+        # specified entries blended toward uniform by the weight and
+        # renormalized (reference formula, reverberate_data_dir.py:478-487)
+        got = smooth_probabilities([0.8, None, None], 0.3)
+        uniform = (1 - 0.8) / 2
+        want = [0.7 * 0.8 + 0.3 * uniform, uniform, uniform]
+        s = sum(want)
+        for g, w in zip(got, want):
+            assert abs(g - w / s) < 1e-12
+        assert abs(sum(got) - 1.0) < 1e-12
+
+    def test_parse_and_rooms(self, tmp_path):
+        from voxsrc2020_speaker_verification_tpu.data.augment import (
+            make_room_dict, parse_rir_list,
+        )
+        path = self._rir_list(tmp_path, {"Room001": 3, "Room002": 1})
+        rirs = parse_rir_list(path)
+        assert len(rirs) == 4
+        assert abs(sum(r["probability"] for r in rirs) - 1.0) < 1e-12
+        assert rirs[0]["path"] == "/rirs/Room001/rir0.wav"
+        rooms = make_room_dict(rirs)
+        assert set(rooms) == {"Room001", "Room002"}
+        # uniform RIRs -> room probability proportional to its RIR count
+        assert abs(rooms["Room001"]["probability"] - 0.75) < 1e-12
+
+    def test_room_policy_sampling(self, tmp_path):
+        from voxsrc2020_speaker_verification_tpu.data.augment import (
+            RoomReverbPolicy,
+        )
+        small = self._rir_list(tmp_path, {"S1": 2, "S2": 2}, "small")
+        medium = self._rir_list(tmp_path, {"M1": 4}, "medium")
+        pol = RoomReverbPolicy([(0.5, small), (0.5, medium)], seed=5)
+        counts = {"S": 0, "M": 0}
+        for _ in range(4000):
+            spec = pol.sample("/wav/x.wav")
+            assert spec["rir"] is not None and spec["noises"] == []
+            counts[spec["rir"].split("/")[2][0]] += 1
+        # set probabilities 0.5/0.5 regardless of RIR counts
+        assert abs(counts["S"] / 4000 - 0.5) < 0.03
+
+    def test_rvb_probability(self, tmp_path):
+        from voxsrc2020_speaker_verification_tpu.data.augment import (
+            RoomReverbPolicy,
+        )
+        path = self._rir_list(tmp_path, {"R": 2})
+        pol = RoomReverbPolicy([(None, path)], rvb_probability=0.0, seed=1)
+        assert pol.sample("/wav/x.wav")["rir"] is None

@@ -206,9 +206,20 @@ def augment_stage(data_root: str, dataset: str, musan_root: str,
         )
         return sorted(glob.glob(pattern, recursive=True))
 
+    # Prefer the corpus's rir_list metadata (room structure + probabilities,
+    # the reference's exact sampling path, prepare_data.sh:119-121); fall
+    # back to flat wav globs when the metadata files are absent.
+    meta = [os.path.join(rirs_root, "simulated_rirs", room, "rir_list")
+            for room in ("smallroom", "mediumroom")]
+    reverb_policy = None
+    if all(os.path.isfile(m) for m in meta):
+        reverb_policy = augment.RoomReverbPolicy(
+            [(0.5, m) for m in meta], seed=seed)
+
     out_dir = os.path.join(data_root, dataset + "_aug")
     augment.augment_data_dir(
         data_dir, out_dir,
+        reverb_policy=reverb_policy,
         rir_sets=[(0.5, rir_list("smallroom")), (0.5, rir_list("mediumroom"))],
         musan_noise=musan.load_noise_durations(musan_dirs["noise"]),
         musan_music=musan.load_noise_durations(musan_dirs["music"]),

@@ -143,6 +143,92 @@ def load_utterance(wav_scp_value: str) -> Tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# RIR-list metadata (the reference's general machinery,
+# steps/data/reverberate_data_dir.py:458-551)
+# ---------------------------------------------------------------------------
+
+def smooth_probabilities(
+    probs: Sequence[Optional[float]],
+    smoothing_weight: float = 0.0,
+    target_sum: float = 1.0,
+) -> List[float]:
+    """Reference smooth_probability_distribution (reverberate_data_dir.py:
+    458-490): unspecified entries share the probability mass left by the
+    specified ones uniformly; specified ones are blended toward uniform by
+    `smoothing_weight`; the result is normalized to `target_sum`."""
+    probs = list(probs)
+    if not probs:
+        return []
+    unspecified = [i for i, p in enumerate(probs) if p is None]
+    acc = sum(p for p in probs if p is not None)
+    uniform = ((1.0 - acc) / len(unspecified)
+               if unspecified and acc < 1.0 else 0.0)
+    out = [
+        uniform if p is None
+        else (1.0 - smoothing_weight) * p + smoothing_weight * uniform
+        for p in probs
+    ]
+    total = sum(out)
+    return [p / total * target_sum for p in out]
+
+
+def parse_rir_list(
+    path: str, smoothing_weight: float = 0.3
+) -> List[Dict]:
+    """Parse a RIRS_NOISES ``rir_list`` metadata file
+    (reverberate_data_dir.py:516-551): lines of
+    ``--rir-id X --room-id Y [--probability p] <location>`` ->
+    [{rir_id, room_id, probability, path}], probabilities smoothed with the
+    reference's default rir_smoothing_weight 0.3."""
+    records: List[Dict] = []
+    with open(path) as f:
+        for line in f:
+            toks = line.split()
+            if not toks:
+                continue
+            rec: Dict = {"rir_id": None, "room_id": None,
+                         "probability": None, "path": toks[-1]}
+            i = 0
+            while i < len(toks) - 1:
+                key = toks[i]
+                if key == "--rir-id":
+                    rec["rir_id"] = toks[i + 1]
+                elif key == "--room-id":
+                    rec["room_id"] = toks[i + 1]
+                elif key == "--probability":
+                    rec["probability"] = float(toks[i + 1])
+                i += 2 if key.startswith("--") else 1
+            records.append(rec)
+    for rec, p in zip(records, smooth_probabilities(
+            [r["probability"] for r in records], smoothing_weight)):
+        rec["probability"] = p
+    return records
+
+
+def make_room_dict(rirs: Sequence[Dict]) -> Dict[str, Dict]:
+    """Group RIRs by room (reverberate_data_dir.py make_room_dict): room
+    probability = sum of its RIRs' probabilities."""
+    rooms: Dict[str, Dict] = {}
+    for rir in rirs:
+        room = rooms.setdefault(
+            rir["room_id"], {"probability": 0.0, "rir_list": []})
+        room["probability"] += rir["probability"]
+        room["rir_list"].append(rir)
+    return rooms
+
+
+def _pick_with_probability(rng: random.Random, items, probs):
+    """pick_item_with_probability (reverberate_data_dir.py:132-152)."""
+    r = rng.random()
+    acc = 0.0
+    for item, p in zip(items, probs):
+        acc += p
+        if r <= acc:
+            return item
+    return items[-1]
+
+
+# ---------------------------------------------------------------------------
 # Policies (sampling distributions of the reference recipes)
 # ---------------------------------------------------------------------------
 
@@ -169,6 +255,54 @@ class ReverbPolicy:
                 if r <= acc or (p, rirs) == self.rir_sets[-1]:
                     spec["rir"] = self.rng.choice(rirs)
                     break
+        return spec
+
+
+class RoomReverbPolicy:
+    """Room-aware RIR sampling from RIRS_NOISES ``rir_list`` metadata --
+    the reference's general path (reverberate_data_dir.py:240-301): RIR-set
+    probabilities are distributed over each set's (smoothed) RIR
+    probabilities, RIRs are grouped by room, and sampling picks a room by
+    probability then an RIR within it.  For the recipe's uniform simulated
+    lists this reduces to ReverbPolicy's per-set uniform choice, but
+    user-supplied probabilities and real-RIR room structure are honored.
+
+    ``set_params``: [(probability | None, rir_list path)], e.g. the
+    recipe's [(0.5, .../smallroom/rir_list), (0.5, .../mediumroom/rir_list)]
+    (ref prepare_data.sh:119-121)."""
+
+    def __init__(
+        self,
+        set_params: Sequence[Tuple[Optional[float], str]],
+        rvb_probability: float = 1.0,
+        smoothing_weight: float = 0.3,
+        seed: int = 777,
+    ):
+        set_probs = smooth_probabilities([p for p, _ in set_params])
+        rirs: List[Dict] = []
+        for (_, path), sp in zip(set_params, set_probs):
+            sub = parse_rir_list(path, smoothing_weight)
+            for r in sub:
+                r["probability"] *= sp  # parse_rir_list normalized to 1
+            rirs.extend(sub)
+        self.rooms = make_room_dict(rirs)
+        self._room_ids = sorted(self.rooms)
+        self._room_probs = [self.rooms[r]["probability"]
+                            for r in self._room_ids]
+        self.rvb_probability = rvb_probability
+        self.rng = random.Random(seed)
+
+    def sample(self, source: str) -> Dict:
+        spec = {"source": source, "rir": None, "noises": []}
+        if self.rng.random() < self.rvb_probability:
+            room_id = _pick_with_probability(
+                self.rng, self._room_ids, self._room_probs)
+            room = self.rooms[room_id]
+            rir = _pick_with_probability(
+                self.rng, room["rir_list"],
+                [r["probability"] / room["probability"]
+                 for r in room["rir_list"]])
+            spec["rir"] = rir["path"]
         return spec
 
 
@@ -259,9 +393,12 @@ def augment_data_dir(
     musan_speech: Dict[str, float],
     utt2dur: Optional[Dict[str, float]] = None,
     seed: int = 777,
+    reverb_policy=None,
 ) -> None:
     """Write the 5x `<dataset>_aug` dir: original + the four augmented copies,
-    wav.scp values = JSON specs, labels preserved via utt suffixes."""
+    wav.scp values = JSON specs, labels preserved via utt suffixes.
+    ``reverb_policy`` (e.g. a RoomReverbPolicy built from rir_list metadata)
+    overrides the flat-list ReverbPolicy built from ``rir_sets``."""
     from ..utils import datadir
 
     wav = datadir.read_two_column(os.path.join(data_dir, "wav.scp"))
@@ -274,7 +411,7 @@ def augment_data_dir(
         }
 
     policies = {
-        "reverb": ReverbPolicy(rir_sets, seed=seed),
+        "reverb": reverb_policy or ReverbPolicy(rir_sets, seed=seed),
         "noise": musan_noise_policy(musan_noise, seed=seed + 1),
         "music": musan_music_policy(musan_music, seed=seed + 2),
         "babble": musan_babble_policy(musan_speech, seed=seed + 3),

@@ -54,7 +54,15 @@ def recipe(name: str):
 
 
 def _apply(config: TrainConfig, overrides) -> TrainConfig:
-    return dataclasses.replace(config, **overrides) if overrides else config
+    if overrides:
+        config = dataclasses.replace(config, **overrides)
+    if config.batch_size % config.bn_groups:
+        # batch overridden below the recipe's group count (smoke runs):
+        # keep per-replica semantics at the largest feasible group count
+        import math
+        config = dataclasses.replace(
+            config, bn_groups=math.gcd(config.batch_size, config.bn_groups))
+    return config
 
 
 @recipe("res2net_vox2_dev_aug")

@@ -13,6 +13,16 @@ dense kernels are (in, out), and sub-center projection kernels are
 Used for golden-embedding parity tests against the reference code run as an
 oracle (tests/test_tf_import.py) and for migrating released reference
 checkpoints onto TPU.
+
+BN running-statistics caveat for imported checkpoints: the reference trains
+with per-replica BN and checkpoints rank 0's moving stats (ref
+models.py:62-73, tf_train_tdnn.py:304); our trainer keeps ONE canonical
+copy updated with the across-group mean of the group moments (ops/nn.py
+_GroupedBN).  Inference-mode forward passes use whichever stats the
+checkpoint carries, so imported reference checkpoints reproduce reference
+embeddings exactly (tests/test_tf_import.py), but stats *trained here* are
+an average over bn_groups shards rather than one shard's trajectory --
+equal in expectation, slightly lower-variance in practice.
 """
 
 from __future__ import annotations
