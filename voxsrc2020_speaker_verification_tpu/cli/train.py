@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "online), FBANK+CMVN on device -- no feature store")
     p.add_argument("--num-workers", type=int, default=4,
                    help="feeder threads (raw/feature modes)")
+    p.add_argument("--no-native-feeder", action="store_true",
+                   help="force the Python feeder even when the C++ one "
+                        "(native/vox_feeder.cc) is built")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--no-checkpoint", action="store_true")
@@ -140,27 +143,45 @@ def main(argv=None) -> None:
             for i in range(w)
         ]
     else:
+        from ..data import native as native_mod
         data_dir = os.path.join(args.data_root, config.dataset)
         utt2id = load_utt2id(os.path.join(data_dir, "utt2id.pkl"))
         paths = shard_paths_for_host(
             data_dir, args.num_shards, args.process_id, args.num_processes
         )
-        sources = [
-            FeatureShardDataset(
-                p, utt2id, config.feat_dim, config.feat_length,
-                seed=args.seed + 1000 * args.process_id + i,
-            )
-            for i, p in enumerate(paths)
-        ]
+        use_native = (
+            not args.no_native_feeder and native_mod.available()
+            and hasattr(native_mod.get_lib(), "vox_feeder_create")
+        )
+        if not use_native:
+            sources = [
+                FeatureShardDataset(
+                    p, utt2id, config.feat_dim, config.feat_length,
+                    seed=args.seed + 1000 * args.process_id + i,
+                )
+                for i, p in enumerate(paths)
+            ]
 
     # each process feeds its local slice of the global per-microbatch batch
     assert config.batch_size % args.num_processes == 0
     local_batch = config.batch_size // args.num_processes
-    feeder = BatchFeeder(
-        sources, local_batch, config.num_accumulation_steps,
-        # bf16 compute -> bf16 wire is lossless and halves the transfer
-        wire_bf16=config.bf16 and not args.raw and not args.synthetic,
-    ).start()
+    if not args.synthetic and not args.raw and use_native:
+        # whole hot loop (ark decode + CMN + crop + assembly + bf16 wire)
+        # in the C++ thread pool, one ctypes call per optimizer step
+        # (native/vox_feeder.cc)
+        feeder = native_mod.NativeBatchFeeder(
+            paths, utt2id, config.feat_dim, config.feat_length,
+            local_batch, config.num_accumulation_steps,
+            num_threads=args.num_workers,
+            seed=args.seed + 1000 * args.process_id,
+            wire_bf16=config.bf16,
+        ).start()
+    else:
+        feeder = BatchFeeder(
+            sources, local_batch, config.num_accumulation_steps,
+            # bf16 compute -> bf16 wire is lossless and halves the transfer
+            wire_bf16=config.bf16 and not args.raw and not args.synthetic,
+        ).start()
     try:
         result = fit(
             config, feeder,

@@ -67,6 +67,27 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.vox_free.restype = None
         lib.vox_free.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "vox_feeder_create"):
+            lib.vox_feeder_create.restype = ctypes.c_void_p
+            lib.vox_feeder_create.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ]
+            lib.vox_feeder_next.restype = ctypes.c_int
+            lib.vox_feeder_next.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.vox_feeder_errors.restype = ctypes.c_int64
+            lib.vox_feeder_errors.argtypes = [ctypes.c_void_p]
+            lib.vox_feeder_stop.restype = None
+            lib.vox_feeder_stop.argtypes = [ctypes.c_void_p]
+            lib.vox_feeder_destroy.restype = None
+            lib.vox_feeder_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -108,6 +129,117 @@ def read_vec(path: str, offset: int = 0) -> np.ndarray:
     if rc != 0:
         raise IOError(f"vox_read_vec({path}:{offset}) failed: {rc}")
     return _take(lib, out, (n.value,))
+
+
+class NativeBatchFeeder:
+    """Whole-hot-loop C++ feeder (native/vox_feeder.cc): ark decode, sliding
+    CMN, crop/pad, batch assembly, and bf16 wire quantization all run in a
+    native thread pool; each ``next()`` is ONE ctypes call (GIL released)
+    that fills caller-owned numpy buffers.
+
+    Drop-in for ``data.dataset.BatchFeeder`` over precomputed-feature scp
+    shards (the semantics it mirrors live in dataset.py and are the Python
+    reference implementation for the parity tests).  The reference gets the
+    same effect from 4 feeder *processes* per rank
+    (ref tf_train_tdnn.py:151-164); here threads suffice because no Python
+    runs per utterance.
+    """
+
+    def __init__(
+        self,
+        scp_paths,
+        utt2id,
+        feat_dim: int,
+        feat_length: int,
+        batch_size: int,
+        num_accumulation_steps: int = 1,
+        num_threads: int = 4,
+        seed: int = 0,
+        sliding_cmn: bool = True,
+        cmn_window: int = 300,
+        skip_percent: int = 10,
+        wire_bf16: bool = False,
+    ):
+        lib = get_lib()
+        assert lib is not None and hasattr(lib, "vox_feeder_create"), \
+            "native feeder unavailable (build native/libvox_io.so)"
+        from . import kaldi_io
+
+        if isinstance(scp_paths, str):
+            scp_paths = [scp_paths]
+        paths, offsets, labels = [], [], []
+        for scp in scp_paths:
+            for key, rxfile in kaldi_io._iter_scp(scp):
+                split = kaldi_io._split_rxfile(rxfile)
+                if split is None:
+                    raise ValueError(
+                        f"native feeder needs plain path:offset scp entries, "
+                        f"got {rxfile!r} (use the Python BatchFeeder for "
+                        f"piped rspecs)")
+                paths.append(split[0].encode())
+                offsets.append(split[1])
+                labels.append(int(utt2id[key]) if utt2id else 0)
+        n = len(paths)
+        assert n > 0, "empty scp"
+        c_paths = (ctypes.c_char_p * n)(*paths)
+        c_offs = (ctypes.c_int64 * n)(*offsets)
+        c_labels = (ctypes.c_int32 * n)(*labels)
+        self._lib = lib
+        self.a, self.b = num_accumulation_steps, batch_size
+        self.t, self.f = feat_length, feat_dim
+        self.wire_bf16 = wire_bf16
+        if wire_bf16:
+            import ml_dtypes
+
+            self._out_dtype = np.dtype(ml_dtypes.bfloat16)
+        else:
+            self._out_dtype = np.dtype(np.float32)
+        self._handle = lib.vox_feeder_create(
+            c_paths, c_offs, c_labels, n, feat_dim, feat_length,
+            batch_size, num_accumulation_steps, num_threads, seed,
+            cmn_window if sliding_cmn else 0, skip_percent,
+            1 if wire_bf16 else 0)
+        assert self._handle, "vox_feeder_create failed"
+
+    def start(self) -> "NativeBatchFeeder":
+        return self  # workers start in the constructor
+
+    def get(self, timeout=None):
+        # fresh buffers per batch: the training loop's device prefetch may
+        # still hold the previous batch
+        feats = np.empty((self.a, self.b, self.t, self.f), self._out_dtype)
+        labels = np.empty((self.a, self.b), np.int32)
+        rc = self._lib.vox_feeder_next(
+            self._handle, feats.ctypes.data_as(ctypes.c_void_p),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if rc != 0:
+            raise StopIteration
+        return feats, labels
+
+    def __iter__(self):
+        while True:
+            try:
+                yield self.get()
+            except StopIteration:
+                return
+
+    def decode_errors(self) -> int:
+        return int(self._lib.vox_feeder_errors(self._handle))
+
+    def stop(self):
+        if self._handle:
+            self._lib.vox_feeder_stop(self._handle)
+
+    def close(self):
+        if self._handle:
+            self._lib.vox_feeder_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
