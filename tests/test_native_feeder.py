@@ -222,6 +222,35 @@ def test_train_cli_uses_native_feeder(tmp_path, monkeypatch, capsys):
     assert "done: 1 steps" in capsys.readouterr().out
 
 
+def test_close_races_concurrent_get(tmp_path):
+    """close() while another thread is blocked inside vox_feeder_next must
+    not use-after-free the C++ object (the training loop's device_prefetch
+    worker does exactly this when the main thread tears the feeder down)."""
+    import threading
+
+    scp, mats, utt2id = _make_corpus(tmp_path, [64, 80, 120])
+    for trial in range(10):
+        feeder = native.NativeBatchFeeder(
+            scp, utt2id, FEAT_DIM, feat_length=64, batch_size=8,
+            num_accumulation_steps=4, num_threads=2, seed=trial,
+            skip_percent=0)
+        n_got = [0]
+
+        def consume():
+            try:
+                for _ in feeder:
+                    n_got[0] += 1
+            except Exception:
+                pass
+
+        t = threading.Thread(target=consume, daemon=True)
+        t.start()
+        feeder.get()  # main thread also consumes once
+        feeder.close()
+        t.join(timeout=10)
+        assert not t.is_alive()
+
+
 def test_rejects_piped_rspec(tmp_path):
     scp = tmp_path / "pipes.scp"
     scp.write_text("utt0 cat foo.ark |\n")

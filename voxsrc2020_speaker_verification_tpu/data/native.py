@@ -200,6 +200,10 @@ class NativeBatchFeeder:
             cmn_window if sliding_cmn else 0, skip_percent,
             1 if wire_bf16 else 0)
         assert self._handle, "vox_feeder_create failed"
+        # serializes in-flight get() against close(): destroy must never
+        # free the C++ object while another thread (e.g. the training
+        # loop's device_prefetch worker) is blocked inside vox_feeder_next
+        self._io_lock = threading.Lock()
 
     def start(self) -> "NativeBatchFeeder":
         return self  # workers start in the constructor
@@ -209,9 +213,12 @@ class NativeBatchFeeder:
         # still hold the previous batch
         feats = np.empty((self.a, self.b, self.t, self.f), self._out_dtype)
         labels = np.empty((self.a, self.b), np.int32)
-        rc = self._lib.vox_feeder_next(
-            self._handle, feats.ctypes.data_as(ctypes.c_void_p),
-            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        with self._io_lock:
+            if self._handle is None:
+                raise StopIteration
+            rc = self._lib.vox_feeder_next(
+                self._handle, feats.ctypes.data_as(ctypes.c_void_p),
+                labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         if rc != 0:
             raise StopIteration
         return feats, labels
@@ -232,8 +239,13 @@ class NativeBatchFeeder:
 
     def close(self):
         if self._handle:
-            self._lib.vox_feeder_destroy(self._handle)
-            self._handle = None
+            # stop OUTSIDE the lock: it unblocks any get() waiting inside
+            # vox_feeder_next, which then releases _io_lock for us
+            self._lib.vox_feeder_stop(self._handle)
+            with self._io_lock:
+                if self._handle:
+                    self._lib.vox_feeder_destroy(self._handle)
+                    self._handle = None
 
     def __del__(self):
         try:
