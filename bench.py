@@ -141,6 +141,55 @@ def main():
     sys_audio_s_per_s = (iters / sys_dt * config.effective_batch
                          * (config.feat_length / 100.0) / n_data)
 
+    # Real-IO rate: the same step fed from an actual CM-compressed feature
+    # store through the native C++ feeder (ark decode + sliding CMN + crop +
+    # bf16 wire in native/vox_feeder.cc) -- the production path of
+    # cli.train.  Uses a small synthetic corpus written once per run.
+    native_audio_s_per_s = None
+    from voxsrc2020_speaker_verification_tpu.data import native
+    if n_chips == 1 and native.available() and hasattr(
+            native.get_lib(), "vox_feeder_create"):
+        import tempfile
+
+        import numpy as np
+        from voxsrc2020_speaker_verification_tpu.data import kaldi_io
+
+        with tempfile.TemporaryDirectory() as root:
+            host_rng = np.random.RandomState(0)
+            utt2id = {}
+            scp = os.path.join(root, "feats.scp")
+            with kaldi_io.ArkScpWriter(
+                    os.path.join(root, "feats.ark"), scp,
+                    compress=True) as w:
+                for i in range(512):
+                    key = f"u{i:04d}"
+                    t = int(host_rng.randint(220, 400))
+                    w.write(key, host_rng.randn(t, config.feat_dim)
+                            .astype(np.float32))
+                    utt2id[key] = i % config.num_classes
+            feeder = native.NativeBatchFeeder(
+                scp, utt2id, config.feat_dim, config.feat_length,
+                config.batch_size, config.num_accumulation_steps,
+                num_threads=max(2, (os.cpu_count() or 2)),
+                wire_bf16=True)
+            try:
+                it = device_prefetch(
+                    iter(feeder), lambda fl: (put(fl[0]), put(fl[1])),
+                    depth=2)
+                fb, lb = next(it)
+                state, metrics = step(state, fb, lb, rng)
+                _ = float(metrics["loss"])
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    fb, lb = next(it)
+                    state, metrics = step(state, fb, lb, rng)
+                _ = float(metrics["loss"])
+                nat_dt = time.perf_counter() - t0
+            finally:
+                feeder.close()
+        native_audio_s_per_s = (iters / nat_dt * config.effective_batch
+                                * (config.feat_length / 100.0))
+
     print(json.dumps({
         "metric": "train_throughput_res2net50_w8_s6_c16",
         "value": round(audio_s_per_s, 1),
@@ -148,6 +197,10 @@ def main():
         "vs_baseline": round(audio_s_per_s / BASELINE_AUDIO_S_PER_S, 3),
         "system_value": round(sys_audio_s_per_s, 1),
         "system_note": "feeder-driven incl. host batch assembly + transfer",
+        **({"system_native_value": round(native_audio_s_per_s, 1),
+            "system_native_note": "real CM feature store through the C++ "
+                                  "feeder (production cli.train path)"}
+           if native_audio_s_per_s is not None else {}),
     }))
 
 
