@@ -63,12 +63,21 @@ def main():
             wav_scp[f"u{i:05d}"] = p
         datadir.write_two_column(os.path.join(dd, "wav.scp"), wav_scp)
 
-        # warmup pass on a copy compiles each bucket shape
+        # warmup pass compiles EVERY bucket shape the timed corpus can hit
+        from voxsrc2020_speaker_verification_tpu.data.features import (
+            DEFAULT_BUCKETS_S,
+        )
         dd2 = os.path.join(root, "warm")
         os.makedirs(dd2)
-        warm = dict(list(wav_scp.items())[:64])
+        warm = {}
+        for b in DEFAULT_BUCKETS_S:
+            if b > 30 + 2:
+                break
+            p = os.path.join(wavs, f"warm{b}.wav")
+            write_wav(p, rng.normal(0, 2000, int(min(b, 30) * SR) - 1))
+            warm[f"warm{b}"] = p
         datadir.write_two_column(os.path.join(dd2, "wav.scp"), warm)
-        compute_features_for_dir(dd2, feat_dim, dither_seed=7)
+        compute_features_for_dir(dd2, feat_dim, dither_seed=7, batch_size=16)
 
         t0 = time.perf_counter()
         scp = compute_features_for_dir(dd, feat_dim, dither_seed=7)

@@ -67,7 +67,18 @@ def compute_features_for_dir(
     keys = sorted(wav)
 
     buckets = [s * sample_rate for s in bucket_seconds]
-    jit_fbank = jax.jit(fbank, static_argnames=("cfg",))
+
+    # int16 wire: PCM16-sourced waves are integral in int16 scale, so the
+    # cast is lossless and halves the host->device transfer (the same trick
+    # as the raw-audio training path, data/raw_dataset.py).
+    def _fbank_i16(waves_i16, cfg, dither_key=None):
+        import jax.numpy as jnp
+
+        w = waves_i16.astype(jnp.float32)
+        return (fbank(w, cfg, dither_key=dither_key)
+                if dither_key is not None else fbank(w, cfg))
+
+    jit_fbank = jax.jit(_fbank_i16, static_argnames=("cfg",))
     key = jax.random.PRNGKey(dither_seed) if dither_seed is not None else None
 
     ark = os.path.join(data_dir, out_name + ".ark")
@@ -84,24 +95,43 @@ def compute_features_for_dir(
         batch = pending[bucket]
         if not batch:
             return
-        waves = np.zeros((len(batch), bucket), np.float32)
+        # pad partial batches (tail of the corpus) up to batch_size: one
+        # XLA compile per bucket instead of one per distinct batch length.
+        # Rows are independent and the counter-based RNG keys dither by
+        # element position, so rows 0..len(batch)-1 are unchanged.
+        waves = np.zeros((batch_size, bucket), np.int16)
         for i, (_, n, w) in enumerate(batch):
-            waves[i, :n] = w[:bucket]
+            # PCM16-sourced floats are already integral; rendered
+            # augmentation floats get the same 16-bit quantization the
+            # reference applies when wav-reverberate writes PCM16 output
+            waves[i, :n] = np.clip(np.rint(w[:bucket]), -32768, 32767)
         if key is not None:
             key, sub = jax.random.split(key)
             feats = jit_fbank(waves, cfg, dither_key=sub)
         else:
             feats = jit_fbank(waves, cfg)
-        feats = np.asarray(feats)
-        for i, (utt, n, _) in enumerate(batch):
-            t = num_frames(min(n, bucket), cfg)
-            writer.write(utt, feats[i, :t])
-            utt2num[utt] = str(t)
-            done += 1
-            if progress_every and done % progress_every == 0:
-                print(f"  fbank: {done}/{len(keys)}")
+        # one flush stays in flight (JAX dispatch is async): the device
+        # computes / the link transfers batch k while the host quantizes
+        # batch k+1 and writes batch k-1's ark entries
+        inflight.append((feats, bucket, batch))
         pending[bucket] = []
+        if len(inflight) > 1:
+            drain(1)
 
+    def drain(keep: int = 0):
+        nonlocal done
+        while len(inflight) > keep:
+            feats, bucket, batch = inflight.pop(0)
+            feats = np.asarray(feats)  # materialize (device sync point)
+            for i, (utt, n, _) in enumerate(batch):
+                t = num_frames(min(n, bucket), cfg)
+                writer.write(utt, feats[i, :t])
+                utt2num[utt] = str(t)
+                done += 1
+                if progress_every and done % progress_every == 0:
+                    print(f"  fbank: {done}/{len(keys)}")
+
+    inflight: List[Tuple[object, int, list]] = []
     with cf.ThreadPoolExecutor(max_workers=io_threads) as pool:
         for utt, (samples, sr) in zip(
             keys, pool.map(lambda u: load_utterance(wav[u]), keys)
@@ -114,6 +144,7 @@ def compute_features_for_dir(
                 flush(b)
         for b in buckets:
             flush(b)
+        drain()
     writer.close()
 
     datadir.write_two_column(os.path.join(data_dir, "utt2num_frames"), utt2num)

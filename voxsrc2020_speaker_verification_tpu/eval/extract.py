@@ -61,6 +61,17 @@ def extract_embeddings(
     # per-bucket pending batch: list of (utt, length, padded_feats)
     pending: Dict[int, List[Tuple[str, int, np.ndarray]]] = {b: [] for b in buckets}
     acc: Dict[str, Tuple[np.ndarray, float]] = {}
+    # one batch stays in flight (async dispatch): the device computes batch
+    # k while the host assembles k+1 and accumulates k-1
+    inflight: List[Tuple[object, List[Tuple[str, int, np.ndarray]]]] = []
+
+    def drain(keep: int = 0):
+        while len(inflight) > keep:
+            emb, batch = inflight.pop(0)
+            emb = np.asarray(emb)  # materialize (device sync point)
+            for i, (utt, length, _) in enumerate(batch):
+                s, w = acc.get(utt, (0.0, 0.0))
+                acc[utt] = (s + emb[i] * length, w + length)
 
     def flush(bucket: int):
         batch = pending[bucket]
@@ -71,11 +82,9 @@ def extract_embeddings(
         for i, (_, length, feats) in enumerate(batch):
             f[i, :length] = feats
             m[i, :length] = 1.0
-        emb = np.asarray(embed_fn(f, m))
-        for i, (utt, length, _) in enumerate(batch):
-            s, w = acc.get(utt, (0.0, 0.0))
-            acc[utt] = (s + emb[i] * length, w + length)
+        inflight.append((embed_fn(f, m), batch))
         pending[bucket] = []
+        drain(1)
 
     for utt, feats in features:
         for start, length in chunk_spans(len(feats), max_frames, min_frames):
@@ -85,6 +94,7 @@ def extract_embeddings(
                 flush(bucket)
     for b in buckets:
         flush(b)
+    drain()
 
     return {utt: (s / w).astype(np.float32) for utt, (s, w) in acc.items()}
 
