@@ -50,8 +50,12 @@ def cmvn_full_stream(
     def flush(bucket, batch):
         if not batch:
             return
-        f = np.zeros((len(batch), bucket, batch[0][1].shape[1]), np.float32)
-        n = np.zeros(len(batch), np.int32)
+        # pad tail batches to batch_size: one compile per bucket, not one
+        # per distinct remainder (overlong batch-1 exact-length calls keep
+        # their own shape -- rare by construction)
+        rows = batch_size if len(batch) < batch_size else len(batch)
+        f = np.zeros((rows, bucket, batch[0][1].shape[1]), np.float32)
+        n = np.ones(rows, np.int32)  # 1 valid frame in pad rows: no 0-div
         for i, (_, feat) in enumerate(batch):
             f[i, : len(feat)] = feat
             n[i] = len(feat)
@@ -92,7 +96,13 @@ def wave_feature_stream(
     from ..utils import datadir
 
     cfg = FbankConfig(num_bins=feat_dim, dither=0.0)
-    jit_fbank = jax.jit(fbank, static_argnames=("cfg",))
+
+    def _fbank_i16(waves_i16, cfg):
+        import jax.numpy as jnp
+
+        return fbank(waves_i16.astype(jnp.float32), cfg)
+
+    jit_fbank = jax.jit(_fbank_i16, static_argnames=("cfg",))
     buckets = [s * sample_rate for s in bucket_seconds]
     pending = {b: [] for b in buckets}
 
@@ -100,9 +110,11 @@ def wave_feature_stream(
         batch = pending[bucket]
         if not batch:
             return
-        waves = np.zeros((len(batch), bucket), np.float32)
+        # pad tail batches (one compile per bucket) + int16 wire (halves
+        # the host->device transfer; PCM16-sourced floats are integral)
+        waves = np.zeros((batch_size, bucket), np.int16)
         for i, (_, w) in enumerate(batch):
-            waves[i, : len(w)] = w[:bucket]
+            waves[i, : len(w)] = np.clip(np.rint(w[:bucket]), -32768, 32767)
         feats = np.asarray(jit_fbank(waves, cfg))
         for i, (utt, w) in enumerate(batch):
             t = num_frames(min(len(w), bucket), cfg)
