@@ -102,6 +102,9 @@ struct Feeder {
   std::condition_variable cv_space, cv_items;
   size_t cap = 0;
   std::atomic<bool> stop{false};
+  std::atomic<bool> failed{false};  // every shard decodes nothing
+  std::atomic<int> dead_workers{0};
+  int n_workers = 0;
   std::atomic<int64_t> decode_errors{0};
   std::vector<std::thread> workers;
 
@@ -113,11 +116,13 @@ struct Feeder {
     const size_t lo = n * widx / nworkers, hi = n * (widx + 1) / nworkers;
     if (lo >= hi) return;
     while (!stop.load(std::memory_order_relaxed)) {
+      size_t attempts = 0, pushed = 0;
       for (size_t i = lo; i < hi && !stop.load(std::memory_order_relaxed);
            ++i) {
         if (skip_percent > 0 &&
             (int32_t)(rng() % 100) >= 100 - skip_percent)
           continue;  // per-pass reshuffle (ref tf_data.py:69)
+        ++attempts;
         const Entry& e = entries[i];
         float* raw = nullptr;
         int32_t t = 0, f = 0;
@@ -127,6 +132,7 @@ struct Feeder {
           decode_errors.fetch_add(1);
           continue;
         }
+        ++pushed;
         if (apply_cmn) sliding_cmn(raw, t, f, cmn_window);
 
         Sample s;
@@ -149,6 +155,20 @@ struct Feeder {
         if (stop.load()) return;
         q.push_back(std::move(s));
         cv_items.notify_one();
+      }
+      // every non-skipped entry in this pass failed to decode: a dead
+      // shard (feat-dim mismatch / corrupt ark).  When ALL workers are
+      // dead the feeder can never produce -- fail loudly instead of
+      // letting vox_feeder_next block forever.
+      if (attempts > 0 && pushed == 0) {
+        if (dead_workers.fetch_add(1) + 1 >= n_workers) {
+          {
+            std::lock_guard<std::mutex> lk(mu);
+            failed.store(true);
+          }
+          cv_items.notify_all();
+        }
+        return;
       }
     }
   }
@@ -188,6 +208,7 @@ void* vox_feeder_create(const char* const* paths, const int64_t* offsets,
   if (num_threads < 1) num_threads = 1;
   if ((size_t)num_threads > fd->entries.size())
     num_threads = (int32_t)fd->entries.size();
+  fd->n_workers = num_threads;
   for (int32_t w = 0; w < num_threads; ++w)
     fd->workers.emplace_back(&Feeder::worker, fd, (size_t)w,
                              (size_t)num_threads);
@@ -197,7 +218,9 @@ void* vox_feeder_create(const char* const* paths, const int64_t* offsets,
 // Blocks until accum*batch samples are available, then writes features into
 // feats_out (accum*batch*feat_length*feat_dim elements, float32 or bf16
 // uint16 depending on wire_bf16) and labels into labels_out (accum*batch).
-// Returns 0, or -1 after vox_feeder_stop.
+// Returns 0; -1 after vox_feeder_stop; -2 if every worker's shard failed
+// to decode (check vox_feeder_errors for the count).
+// Must not race vox_feeder_destroy (the Python wrapper serializes them).
 int vox_feeder_next(void* handle, void* feats_out, int32_t* labels_out) {
   Feeder* fd = (Feeder*)handle;
   const size_t need = (size_t)fd->batch * fd->accum;
@@ -206,8 +229,11 @@ int vox_feeder_next(void* handle, void* feats_out, int32_t* labels_out) {
     Sample s;
     {
       std::unique_lock<std::mutex> lk(fd->mu);
-      fd->cv_items.wait(lk, [&] { return !fd->q.empty() || fd->stop.load(); });
-      if (fd->q.empty()) return -1;  // stopped
+      fd->cv_items.wait(lk, [&] {
+        return !fd->q.empty() || fd->stop.load() || fd->failed.load();
+      });
+      if (fd->q.empty())
+        return fd->failed.load() && !fd->stop.load() ? -2 : -1;
       s = std::move(fd->q.front());
       fd->q.pop_front();
       fd->cv_space.notify_one();
@@ -229,7 +255,12 @@ int64_t vox_feeder_errors(void* handle) {
 
 void vox_feeder_stop(void* handle) {
   Feeder* fd = (Feeder*)handle;
-  fd->stop.store(true);
+  {
+    // store under the queue mutex: a waiter that just evaluated its
+    // predicate cannot miss the flag + notification (lost wakeup)
+    std::lock_guard<std::mutex> lk(fd->mu);
+    fd->stop.store(true);
+  }
   fd->cv_space.notify_all();
   fd->cv_items.notify_all();
 }

@@ -251,6 +251,23 @@ def test_close_races_concurrent_get(tmp_path):
         assert not t.is_alive()
 
 
+def test_all_shards_dead_raises(tmp_path):
+    """A feature store whose dim mismatches --feat-dim must fail loudly,
+    not hang: every worker's pass decodes nothing -> get() raises IOError
+    naming the decode-error count."""
+    scp, mats, utt2id = _make_corpus(tmp_path, [60, 60, 60])
+    feeder = native.NativeBatchFeeder(
+        scp, utt2id, FEAT_DIM + 1, feat_length=40, batch_size=2,
+        num_accumulation_steps=1, num_threads=2, seed=0,
+        sliding_cmn=False, skip_percent=0)
+    try:
+        with pytest.raises(IOError, match="failed to decode"):
+            feeder.get()
+        assert feeder.decode_errors() >= 3
+    finally:
+        feeder.close()
+
+
 def test_rejects_piped_rspec(tmp_path):
     scp = tmp_path / "pipes.scp"
     scp.write_text("utt0 cat foo.ark |\n")

@@ -248,6 +248,28 @@ class TestRirListMachinery:
         # uniform RIRs -> room probability proportional to its RIR count
         assert abs(rooms["Room001"]["probability"] - 0.75) < 1e-12
 
+    def test_parse_rebases_corpus_relative_paths(self, tmp_path):
+        """RIRS_NOISES rir_list locations are corpus-relative
+        ('RIRS_NOISES/simulated_rirs/...'); with base=<rirs_root> they must
+        come out absolute so specs work from any cwd."""
+        from voxsrc2020_speaker_verification_tpu.data.augment import (
+            parse_rir_list,
+        )
+        root = tmp_path / "RIRS_NOISES"
+        rirdir = root / "simulated_rirs" / "smallroom" / "Room001"
+        rirdir.mkdir(parents=True)
+        (rirdir / "rir0.wav").write_bytes(b"")
+        lst = root / "rir_list"
+        lst.write_text(
+            "--rir-id r0 --room-id Room001 "
+            "RIRS_NOISES/simulated_rirs/smallroom/Room001/rir0.wav\n")
+        rirs = parse_rir_list(str(lst), base=str(root))
+        assert rirs[0]["path"] == str(rirdir / "rir0.wav")
+        # absolute locations pass through untouched
+        lst.write_text("--rir-id r0 --room-id R /abs/rir.wav\n")
+        assert parse_rir_list(str(lst),
+                              base=str(root))[0]["path"] == "/abs/rir.wav"
+
     def test_room_policy_sampling(self, tmp_path):
         from voxsrc2020_speaker_verification_tpu.data.augment import (
             RoomReverbPolicy,

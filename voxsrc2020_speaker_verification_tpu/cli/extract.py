@@ -51,9 +51,11 @@ def cmvn_full_stream(
         if not batch:
             return
         # pad tail batches to batch_size: one compile per bucket, not one
-        # per distinct remainder (overlong batch-1 exact-length calls keep
-        # their own shape -- rare by construction)
-        rows = batch_size if len(batch) < batch_size else len(batch)
+        # per distinct remainder.  Overlong batch-1 exact-length calls keep
+        # their own (1, T, F) shape -- padding those would multiply device
+        # memory by batch_size exactly where the utterance is longest.
+        rows = (batch_size if bucket in pending and len(batch) < batch_size
+                else len(batch))
         f = np.zeros((rows, bucket, batch[0][1].shape[1]), np.float32)
         n = np.ones(rows, np.int32)  # 1 valid frame in pad rows: no 0-div
         for i, (_, feat) in enumerate(batch):
@@ -92,17 +94,12 @@ def wave_feature_stream(
     import jax
 
     from ..data.augment import load_utterance
-    from ..ops.fbank import FbankConfig, fbank, num_frames
+    from ..ops.fbank import FbankConfig, fbank_i16, num_frames, pcm16
     from ..utils import datadir
 
     cfg = FbankConfig(num_bins=feat_dim, dither=0.0)
-
-    def _fbank_i16(waves_i16, cfg):
-        import jax.numpy as jnp
-
-        return fbank(waves_i16.astype(jnp.float32), cfg)
-
-    jit_fbank = jax.jit(_fbank_i16, static_argnames=("cfg",))
+    # int16 wire (ops.fbank.fbank_i16): halves the host->device transfer
+    jit_fbank = jax.jit(fbank_i16, static_argnames=("cfg",))
     buckets = [s * sample_rate for s in bucket_seconds]
     pending = {b: [] for b in buckets}
 
@@ -110,11 +107,10 @@ def wave_feature_stream(
         batch = pending[bucket]
         if not batch:
             return
-        # pad tail batches (one compile per bucket) + int16 wire (halves
-        # the host->device transfer; PCM16-sourced floats are integral)
+        # pad tail batches (one compile per bucket) + int16 wire
         waves = np.zeros((batch_size, bucket), np.int16)
         for i, (_, w) in enumerate(batch):
-            waves[i, : len(w)] = np.clip(np.rint(w[:bucket]), -32768, 32767)
+            waves[i, : len(w)] = pcm16(w[:bucket])
         feats = np.asarray(jit_fbank(waves, cfg))
         for i, (utt, w) in enumerate(batch):
             t = num_frames(min(len(w), bucket), cfg)

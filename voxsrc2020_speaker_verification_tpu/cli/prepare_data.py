@@ -214,7 +214,7 @@ def augment_stage(data_root: str, dataset: str, musan_root: str,
     reverb_policy = None
     if all(os.path.isfile(m) for m in meta):
         reverb_policy = augment.RoomReverbPolicy(
-            [(0.5, m) for m in meta], seed=seed)
+            [(0.5, m) for m in meta], seed=seed, base=rirs_root)
 
     out_dir = os.path.join(data_root, dataset + "_aug")
     augment.augment_data_dir(

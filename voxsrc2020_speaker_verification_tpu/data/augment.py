@@ -172,14 +172,31 @@ def smooth_probabilities(
     return [p / total * target_sum for p in out]
 
 
+def _rebase_location(loc: str, base: Optional[str]) -> str:
+    """RIRS_NOISES rir_list locations are corpus-relative (e.g.
+    'RIRS_NOISES/simulated_rirs/smallroom/Room001/....wav', ref
+    reverberate_data_dir.py runs from the corpus parent).  Rebase them
+    against the corpus root so specs carry usable paths from any cwd."""
+    if base is None or os.path.isabs(loc):
+        return loc
+    first, _, rest = loc.partition("/")
+    if rest and first == os.path.basename(os.path.normpath(base)):
+        cand = os.path.join(base, rest)  # 'RIRS_NOISES/x' under base
+        if os.path.exists(cand):
+            return cand
+    cand = os.path.join(base, loc)
+    return cand if os.path.exists(cand) else loc
+
+
 def parse_rir_list(
-    path: str, smoothing_weight: float = 0.3
+    path: str, smoothing_weight: float = 0.3, base: Optional[str] = None
 ) -> List[Dict]:
     """Parse a RIRS_NOISES ``rir_list`` metadata file
     (reverberate_data_dir.py:516-551): lines of
     ``--rir-id X --room-id Y [--probability p] <location>`` ->
     [{rir_id, room_id, probability, path}], probabilities smoothed with the
-    reference's default rir_smoothing_weight 0.3."""
+    reference's default rir_smoothing_weight 0.3.  ``base`` rebases
+    corpus-relative RIR locations (pass the RIRS_NOISES root)."""
     records: List[Dict] = []
     with open(path) as f:
         for line in f:
@@ -187,7 +204,8 @@ def parse_rir_list(
             if not toks:
                 continue
             rec: Dict = {"rir_id": None, "room_id": None,
-                         "probability": None, "path": toks[-1]}
+                         "probability": None,
+                         "path": _rebase_location(toks[-1], base)}
             i = 0
             while i < len(toks) - 1:
                 key = toks[i]
@@ -277,11 +295,12 @@ class RoomReverbPolicy:
         rvb_probability: float = 1.0,
         smoothing_weight: float = 0.3,
         seed: int = 777,
+        base: Optional[str] = None,
     ):
         set_probs = smooth_probabilities([p for p, _ in set_params])
         rirs: List[Dict] = []
         for (_, path), sp in zip(set_params, set_probs):
-            sub = parse_rir_list(path, smoothing_weight)
+            sub = parse_rir_list(path, smoothing_weight, base=base)
             for r in sub:
                 r["probability"] *= sp  # parse_rir_list normalized to 1
             rirs.extend(sub)

@@ -25,7 +25,7 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..ops.fbank import FbankConfig, fbank, num_frames
+from ..ops.fbank import FbankConfig, fbank_i16, num_frames, pcm16
 from ..utils import datadir
 from . import kaldi_io
 from .augment import load_utterance
@@ -67,18 +67,8 @@ def compute_features_for_dir(
     keys = sorted(wav)
 
     buckets = [s * sample_rate for s in bucket_seconds]
-
-    # int16 wire: PCM16-sourced waves are integral in int16 scale, so the
-    # cast is lossless and halves the host->device transfer (the same trick
-    # as the raw-audio training path, data/raw_dataset.py).
-    def _fbank_i16(waves_i16, cfg, dither_key=None):
-        import jax.numpy as jnp
-
-        w = waves_i16.astype(jnp.float32)
-        return (fbank(w, cfg, dither_key=dither_key)
-                if dither_key is not None else fbank(w, cfg))
-
-    jit_fbank = jax.jit(_fbank_i16, static_argnames=("cfg",))
+    # int16 wire (ops.fbank.fbank_i16): halves the host->device transfer
+    jit_fbank = jax.jit(fbank_i16, static_argnames=("cfg",))
     key = jax.random.PRNGKey(dither_seed) if dither_seed is not None else None
 
     ark = os.path.join(data_dir, out_name + ".ark")
@@ -101,10 +91,7 @@ def compute_features_for_dir(
         # element position, so rows 0..len(batch)-1 are unchanged.
         waves = np.zeros((batch_size, bucket), np.int16)
         for i, (_, n, w) in enumerate(batch):
-            # PCM16-sourced floats are already integral; rendered
-            # augmentation floats get the same 16-bit quantization the
-            # reference applies when wav-reverberate writes PCM16 output
-            waves[i, :n] = np.clip(np.rint(w[:bucket]), -32768, 32767)
+            waves[i, :n] = pcm16(w[:bucket])
         if key is not None:
             key, sub = jax.random.split(key)
             feats = jit_fbank(waves, cfg, dither_key=sub)

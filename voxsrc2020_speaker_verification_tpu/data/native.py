@@ -219,6 +219,11 @@ class NativeBatchFeeder:
             rc = self._lib.vox_feeder_next(
                 self._handle, feats.ctypes.data_as(ctypes.c_void_p),
                 labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            if rc == -2:  # every shard failed to decode -- fail loudly
+                n = int(self._lib.vox_feeder_errors(self._handle))
+                raise IOError(
+                    f"native feeder: all scp shards failed to decode "
+                    f"({n} errors) -- feat_dim mismatch or corrupt arks?")
         if rc != 0:
             raise StopIteration
         return feats, labels

@@ -226,3 +226,26 @@ def num_frames_batch(num_samples: jax.Array, cfg: FbankConfig) -> jax.Array:
     """Vectorized Kaldi snip-edges frame count (0 for short utterances)."""
     t = 1 + (num_samples - cfg.frame_length) // cfg.frame_shift
     return jnp.maximum(t, 0)
+
+
+def fbank_i16(
+    waves_i16: jax.Array,
+    cfg: FbankConfig = FbankConfig(),
+    dither_key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """FBANK over int16-wire waveforms: casts to float32 on device, so the
+    host ships half the bytes.  Lossless for PCM16-sourced audio (integral
+    int16-scale floats); jit with static_argnames=("cfg",).  Shared by the
+    offline prep (data/features.py) and raw-extraction (cli/extract.py)
+    pipelines so their wire semantics cannot diverge."""
+    w = waves_i16.astype(jnp.float32)
+    return fbank(w, cfg, dither_key=dither_key) if dither_key is not None \
+        else fbank(w, cfg)
+
+
+def pcm16(w: np.ndarray) -> np.ndarray:
+    """Quantize float samples to the int16 grid (round half to even, clip)
+    -- the same 16-bit quantization the reference applies whenever
+    wav-reverberate writes PCM16 output.  A no-op for PCM16-sourced floats,
+    which are already integral."""
+    return np.clip(np.rint(w), -32768, 32767)

@@ -191,32 +191,39 @@ def fit(
     t_start = t_log
     steps_run = 0
     cur = start_step
-    while cur < stop_step and not preempt.is_set():
-        feats, labels = next(it)
-        state, metrics = step_fn(state, feats, labels, rng)
-        cur += 1
-        steps_run += 1
-        pending_metrics = metrics
+    try:
+        while cur < stop_step and not preempt.is_set():
+            feats, labels = next(it)
+            state, metrics = step_fn(state, feats, labels, rng)
+            cur += 1
+            steps_run += 1
+            pending_metrics = metrics
 
-        if log_every and (cur % log_every == 0 or cur == stop_step):
-            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-            now = time.perf_counter()
-            done = log_every if cur % log_every == 0 else cur % log_every
-            rate = done / (now - t_log) * audio_s_per_step
-            t_log = now
-            log_fn(
-                f"step {cur}/{stop_step} loss {m['loss']:.4f} "
-                f"(ce {m['classification_loss']:.4f} reg {m['regularization_loss']:.4f}) "
-                f"acc {m['accuracy']:.4f} lr {m['learning_rate']:.6f} "
-                f"margin {m['margin']:.4f} gnorm {m['gradient_norm']:.2f} "
-                f"audio-s/s {rate:.0f}"
-            )
-            if metrics_writer is not None:
-                metrics_writer.write(cur, m, audio_s_per_s=rate)
-        if mgr is not None and (
-                cur % epoch_size == 0
-                or (save_every_steps and cur % save_every_steps == 0)):
-            mgr.save(state, step=cur)
+            if log_every and (cur % log_every == 0 or cur == stop_step):
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                now = time.perf_counter()
+                done = log_every if cur % log_every == 0 else cur % log_every
+                rate = done / (now - t_log) * audio_s_per_step
+                t_log = now
+                log_fn(
+                    f"step {cur}/{stop_step} loss {m['loss']:.4f} "
+                    f"(ce {m['classification_loss']:.4f} reg {m['regularization_loss']:.4f}) "
+                    f"acc {m['accuracy']:.4f} lr {m['learning_rate']:.6f} "
+                    f"margin {m['margin']:.4f} gnorm {m['gradient_norm']:.2f} "
+                    f"audio-s/s {rate:.0f}"
+                )
+                if metrics_writer is not None:
+                    metrics_writer.write(cur, m, audio_s_per_s=rate)
+            if mgr is not None and (
+                    cur % epoch_size == 0
+                    or (save_every_steps and cur % save_every_steps == 0)):
+                mgr.save(state, step=cur)
+    finally:
+        # always restore the previous SIGTERM disposition: leaking the
+        # handler past an exception would make a supervisor's polite kill
+        # set a dead Event instead of terminating the process
+        if trap_sigterm:
+            signal.signal(signal.SIGTERM, prev_handler)
 
     if pending_metrics is not None:
         jax.block_until_ready(pending_metrics)
@@ -229,8 +236,6 @@ def fit(
         mgr.close()
     if metrics_writer is not None:
         metrics_writer.close()
-    if trap_sigterm:
-        signal.signal(signal.SIGTERM, prev_handler)
     return FitResult(
         state=state,
         steps_run=steps_run,
