@@ -53,14 +53,50 @@ def read_trials(path: str) -> List[Tuple[int, str, str]]:
     return trials
 
 
+def _trial_index(
+    xvectors: Dict[str, np.ndarray], trials: Sequence[Tuple[int, str, str]]
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(matrix (U, D), i1 (N,), i2 (N,)) for the utterances trials touch --
+    one Python pass; everything downstream is vectorized gathers."""
+    utts = sorted({u for _, a, b in trials for u in (a, b)})
+    idx = {u: i for i, u in enumerate(utts)}
+    mat = np.stack([xvectors[u] for u in utts]).astype(np.float32)
+    i1 = np.fromiter((idx[a] for _, a, _ in trials), np.int64, len(trials))
+    i2 = np.fromiter((idx[b] for _, _, b in trials), np.int64, len(trials))
+    return mat, i1, i2
+
+
 def cosine_scores(
     xvectors: Dict[str, np.ndarray], trials: Sequence[Tuple[int, str, str]]
 ) -> np.ndarray:
-    """Dot products of (pre-normalized) trial vectors (snorm.py:113-120)."""
+    """Dot products of (pre-normalized) trial vectors (snorm.py:113-120).
+    A direct per-trial dot beats building index arrays here (measured: the
+    unique-utterance set construction costs more than 550k small dots)."""
     return np.array(
         [float(np.dot(xvectors[u1], xvectors[u2])) for _, u1, u2 in trials],
         dtype=np.float64,
     )
+
+
+_DEVICE_STATS_CACHE: Dict[int, object] = {}
+
+
+def _device_topk_stats(topk: int):
+    """Jitted (trial_block, cohort) -> (mean, std) of top-k cohort scores.
+    Cached per topk: a fresh closure per cohort_stats call would defeat
+    jax.jit's cache and recompile every invocation."""
+    if topk not in _DEVICE_STATS_CACHE:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _stats(t, c):
+            scores = jnp.dot(t, c.T, precision=jax.lax.Precision.HIGHEST)
+            top, _ = jax.lax.top_k(scores, topk)
+            return jnp.mean(top, axis=1), jnp.std(top, axis=1)
+
+        _DEVICE_STATS_CACHE[topk] = _stats
+    return _DEVICE_STATS_CACHE[topk]
 
 
 def cohort_stats(
@@ -84,17 +120,14 @@ def cohort_stats(
             import jax
             import jax.numpy as jnp
 
-            @jax.jit
-            def _stats(t, c):
-                scores = jnp.dot(t, c.T, precision=jax.lax.Precision.HIGHEST)
-                top, _ = jax.lax.top_k(scores, topk)
-                return jnp.mean(top, axis=1), jnp.std(top, axis=1)
-
+            _stats = _device_topk_stats(topk)
             c = jnp.asarray(cohort_matrix, jnp.float32)
             n = len(trial_matrix)
             means, stds = [], []
             for lo in range(0, n, block_rows):
-                block = np.zeros((min(block_rows, n), trial_matrix.shape[1]),
+                # fixed block shape: ONE compile regardless of n or the
+                # tail remainder (pad rows are discarded below)
+                block = np.zeros((block_rows, trial_matrix.shape[1]),
                                  np.float32)
                 rows = trial_matrix[lo: lo + block_rows]
                 block[: len(rows)] = rows
@@ -122,17 +155,11 @@ def asnorm_scores(
 ) -> np.ndarray:
     """Adaptive symmetric s-norm of precomputed cosine scores
     (snorm.py:123-131): 0.5 * ((s - m1)/sd1 + (s - m2)/sd2)."""
-    utts = sorted({u for _, a, b in trials for u in (a, b)})
-    trial_matrix = np.stack([xvectors[u] for u in utts]).astype(np.float32)
+    trial_matrix, i1, i2 = _trial_index(xvectors, trials)
     cohort_matrix = np.stack(list(cohort.values())).astype(np.float32)
     mean, std = cohort_stats(trial_matrix, cohort_matrix, topk=topk)
-    m = dict(zip(utts, mean))
-    s = dict(zip(utts, std))
-    out = np.empty(len(trials), np.float64)
-    for i, (_, u1, u2) in enumerate(trials):
-        sc = raw_scores[i]
-        out[i] = 0.5 * ((sc - m[u1]) / s[u1] + (sc - m[u2]) / s[u2])
-    return out
+    sc = np.asarray(raw_scores, np.float64)
+    return 0.5 * ((sc - mean[i1]) / std[i1] + (sc - mean[i2]) / std[i2])
 
 
 def write_scores(path: str, trials, scores) -> None:
