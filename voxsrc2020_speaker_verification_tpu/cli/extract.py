@@ -134,7 +134,7 @@ def extract_dataset(
     data_dir: str,
     out_prefix: str,
     *,
-    batch_size: int = 32,
+    batch_size: int = 64,
     cmn_window: int = 300,
     scp_name: str = None,
     raw: bool = False,
@@ -199,7 +199,7 @@ def main(argv=None) -> None:
     p.add_argument("--out", required=True, help="output ark/scp path prefix")
     p.add_argument("--scp-name", default=None,
                    help="feature scp filename (default fbank<feat_dim>.scp)")
-    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--cmn-window", type=int, default=300)
     p.add_argument("--raw", action="store_true",
                    help="stream wav.scp with on-device FBANK (no feature store)")
