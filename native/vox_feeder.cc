@@ -93,6 +93,9 @@ struct Feeder {
   int32_t cmn_window, skip_percent;
   bool wire_bf16, apply_cmn;
   uint64_t seed;
+  // optional global CMVN (ref tf_train_tdnn.py:91 cmvn_pkl -> tf_data.py:
+  // 80-81): applied per frame AFTER sliding CMN, (x - mean) / std
+  std::vector<float> cmvn_mean, cmvn_std;
 
   std::vector<Entry> entries;
 
@@ -134,6 +137,13 @@ struct Feeder {
         }
         ++pushed;
         if (apply_cmn) sliding_cmn(raw, t, f, cmn_window);
+        if (!cmvn_mean.empty()) {
+          for (int32_t i = 0; i < t; ++i) {
+            float* row = raw + (size_t)i * f;
+            for (int32_t j = 0; j < f; ++j)
+              row[j] = (row[j] - cmvn_mean[j]) / cmvn_std[j];
+          }
+        }
 
         Sample s;
         s.label = e.label;
@@ -180,16 +190,23 @@ extern "C" {
 
 // paths/offsets/labels are parallel arrays of n scp entries (Python parses
 // the scp + utt2id once).  num_threads worker threads each own a contiguous
-// shard.  Returns an opaque handle (never null on valid args).
+// shard.  cmvn_mean/cmvn_std (nullable, feat_dim each) apply global CMVN
+// after sliding CMN (ref tf_train_tdnn.py:91 cmvn_pkl, tf_data.py:80-81).
+// Returns an opaque handle (never null on valid args).
 void* vox_feeder_create(const char* const* paths, const int64_t* offsets,
                         const int32_t* labels, int64_t n, int32_t feat_dim,
                         int32_t feat_length, int32_t batch, int32_t accum,
                         int32_t num_threads, uint64_t seed,
                         int32_t cmn_window, int32_t skip_percent,
-                        int32_t wire_bf16) {
+                        int32_t wire_bf16, const float* cmvn_mean,
+                        const float* cmvn_std) {
   if (n <= 0 || feat_dim <= 0 || feat_length <= 0 || batch <= 0 || accum <= 0)
     return nullptr;
   Feeder* fd = new Feeder();
+  if (cmvn_mean && cmvn_std) {
+    fd->cmvn_mean.assign(cmvn_mean, cmvn_mean + feat_dim);
+    fd->cmvn_std.assign(cmvn_std, cmvn_std + feat_dim);
+  }
   fd->feat_dim = feat_dim;
   fd->feat_length = feat_length;
   fd->batch = batch;
@@ -251,6 +268,14 @@ int vox_feeder_next(void* handle, void* feats_out, int32_t* labels_out) {
 
 int64_t vox_feeder_errors(void* handle) {
   return ((Feeder*)handle)->decode_errors.load();
+}
+
+// Workers that died after a full pass with zero successful decodes (one
+// worker == one contiguous scp shard).  A non-zero value means part of the
+// dataset is silently missing from training -- callers should fail loudly
+// (training/loop.py checks this every log interval).
+int32_t vox_feeder_dead_workers(void* handle) {
+  return ((Feeder*)handle)->dead_workers.load();
 }
 
 void vox_feeder_stop(void* handle) {

@@ -17,7 +17,7 @@ from __future__ import annotations
 import argparse
 
 
-def main(argv=None) -> None:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--recipe", default=None,
@@ -32,7 +32,11 @@ def main(argv=None) -> None:
     p.add_argument("--stablehlo", action="store_true",
                    help="also serialize StableHLO embed fns per bucket")
     p.add_argument("--batch-size", type=int, default=32)
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
 
     import jax
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import os
+from typing import Optional
 
 import numpy as np
 
@@ -134,7 +135,7 @@ def extract_dataset(
     data_dir: str,
     out_prefix: str,
     *,
-    batch_size: int = 64,
+    batch_size: Optional[int] = None,
     cmn_window: int = 300,
     scp_name: str = None,
     raw: bool = False,
@@ -151,7 +152,9 @@ def extract_dataset(
 
     from ..data import kaldi_io
     from ..eval.export import load_inference_artifact
-    from ..eval.extract import extract_embeddings, make_bucketed_embed_fn
+    from ..eval.extract import (
+        default_batch_size, extract_embeddings, make_bucketed_embed_fn,
+    )
 
     mesh = None
     n_dev = num_devices if num_devices > 0 else len(jax.devices())
@@ -159,10 +162,14 @@ def extract_dataset(
         from jax.sharding import Mesh
 
         mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("data",))
-        if batch_size % n_dev:
-            batch_size = -(-batch_size // n_dev) * n_dev  # round up
 
     config, embed = load_inference_artifact(artifact_dir, mesh=mesh)
+    if batch_size is None:
+        # measured-best bucket batch per model class (PERF.md: 128 is 2.4x
+        # faster than 64 for w24/att-class models on v5e)
+        batch_size = default_batch_size(config.model)
+    if n_dev > 1 and batch_size % n_dev:
+        batch_size = -(-batch_size // n_dev) * n_dev  # round up
     fn = make_bucketed_embed_fn(embed, batch_size=batch_size)
 
     if raw:
@@ -190,7 +197,7 @@ def extract_dataset(
     return out_scp
 
 
-def main(argv=None) -> None:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--artifact", required=True,
@@ -199,13 +206,19 @@ def main(argv=None) -> None:
     p.add_argument("--out", required=True, help="output ark/scp path prefix")
     p.add_argument("--scp-name", default=None,
                    help="feature scp filename (default fbank<feat_dim>.scp)")
-    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="bucket batch (default: measured-best per model "
+                        "class -- 128 for w24/att Res2Nets, 64 otherwise)")
     p.add_argument("--cmn-window", type=int, default=300)
     p.add_argument("--raw", action="store_true",
                    help="stream wav.scp with on-device FBANK (no feature store)")
     p.add_argument("--num-devices", type=int, default=0,
                    help="devices to fan the batch over (0 = all local)")
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
 
     scp = extract_dataset(
         args.artifact, args.data_dir, args.out,

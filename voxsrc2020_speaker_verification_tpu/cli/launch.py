@@ -24,14 +24,7 @@ import subprocess
 import sys
 
 
-def main(argv=None) -> None:
-    argv = sys.argv[1:] if argv is None else argv
-    if "--" in argv:
-        split = argv.index("--")
-        own, fwd = argv[:split], argv[split + 1:]
-    else:
-        own, fwd = argv, []
-
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--num-processes", type=int, required=True,
@@ -41,7 +34,18 @@ def main(argv=None) -> None:
     p.add_argument("--process-offset", type=int, default=0,
                    help="first process id on this machine")
     p.add_argument("--coordinator", default="localhost:12355")
-    args = p.parse_args(own)
+    return p
+
+
+def main(argv=None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    if "--" in argv:
+        split = argv.index("--")
+        own, fwd = argv[:split], argv[split + 1:]
+    else:
+        own, fwd = argv, []
+
+    args = build_parser().parse_args(own)
 
     local = args.local_processes or args.num_processes
     procs = []

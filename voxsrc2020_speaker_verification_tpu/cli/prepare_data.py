@@ -230,7 +230,7 @@ def augment_stage(data_root: str, dataset: str, musan_root: str,
     return out_dir
 
 
-def main(argv=None) -> None:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--stage", type=int, required=True, choices=[0, 1, 2, 3, 4, 5])
@@ -251,7 +251,11 @@ def main(argv=None) -> None:
     p.add_argument("--dither-seed", type=int, default=None)
     p.add_argument("--num-shards", type=int, nargs="+", default=[8, 16, 32])
     p.add_argument("--seed", type=int, default=777)
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
 
     data_dir = os.path.join(args.data_root, args.dataset)
     if args.stage == 0:

@@ -23,7 +23,7 @@ import pickle
 import numpy as np
 
 
-def main(argv=None) -> None:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--trials", required=True)
@@ -35,7 +35,11 @@ def main(argv=None) -> None:
     p.add_argument("--topk", type=int, default=400)
     p.add_argument("--p-target", type=float, default=0.01)
     p.add_argument("--out", default=None, help="write '<utt1> <utt2> <score>' lines")
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
 
     from ..data import kaldi_io
     from ..eval.metrics import evaluate_trials

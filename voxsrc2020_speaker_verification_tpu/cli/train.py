@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mid-epoch checkpoint cadence (preemption safety; "
                         "per-epoch checkpoints always happen)")
     p.add_argument("--specaug", action="store_true")
+    p.add_argument("--cmvn-pkl", default=None,
+                   help="global CMVN (mean, std) pickle applied after "
+                        "sliding CMN (ref tf_train_tdnn.py:91 cmvn_pkl)")
     p.add_argument("--num-model-shards", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     # config overrides
@@ -157,6 +160,7 @@ def main(argv=None) -> None:
             sources = [
                 FeatureShardDataset(
                     p, utt2id, config.feat_dim, config.feat_length,
+                    cmvn_pkl=args.cmvn_pkl,
                     seed=args.seed + 1000 * args.process_id + i,
                 )
                 for i, p in enumerate(paths)
@@ -175,6 +179,7 @@ def main(argv=None) -> None:
             num_threads=args.num_workers,
             seed=args.seed + 1000 * args.process_id,
             wire_bf16=config.bf16,
+            cmvn_pkl=args.cmvn_pkl,
         ).start()
     else:
         feeder = BatchFeeder(

@@ -76,6 +76,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_float),   # cmvn_mean (nullable)
+                ctypes.POINTER(ctypes.c_float),   # cmvn_std (nullable)
             ]
             lib.vox_feeder_next.restype = ctypes.c_int
             lib.vox_feeder_next.argtypes = [
@@ -84,6 +86,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ]
             lib.vox_feeder_errors.restype = ctypes.c_int64
             lib.vox_feeder_errors.argtypes = [ctypes.c_void_p]
+            if hasattr(lib, "vox_feeder_dead_workers"):
+                lib.vox_feeder_dead_workers.restype = ctypes.c_int32
+                lib.vox_feeder_dead_workers.argtypes = [ctypes.c_void_p]
             lib.vox_feeder_stop.restype = None
             lib.vox_feeder_stop.argtypes = [ctypes.c_void_p]
             lib.vox_feeder_destroy.restype = None
@@ -159,6 +164,7 @@ class NativeBatchFeeder:
         cmn_window: int = 300,
         skip_percent: int = 10,
         wire_bf16: bool = False,
+        cmvn_pkl: Optional[str] = None,
     ):
         lib = get_lib()
         assert lib is not None and hasattr(lib, "vox_feeder_create"), \
@@ -194,11 +200,26 @@ class NativeBatchFeeder:
             self._out_dtype = np.dtype(ml_dtypes.bfloat16)
         else:
             self._out_dtype = np.dtype(np.float32)
+        c_mean = c_std = None
+        if cmvn_pkl:
+            # global CMVN pickle (ref tf_train_tdnn.py:91, tf_data.py:80-81):
+            # (mean, std) applied after sliding CMN, like FeatureShardDataset
+            import pickle
+
+            with open(cmvn_pkl, "rb") as f:
+                mean, std = pickle.load(f)
+            mean = np.ascontiguousarray(
+                np.broadcast_to(np.asarray(mean, np.float32), (feat_dim,)))
+            std = np.ascontiguousarray(
+                np.broadcast_to(np.asarray(std, np.float32), (feat_dim,)))
+            self._cmvn_arrays = (mean, std)  # keep alive past create
+            as_fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            c_mean, c_std = as_fp(mean), as_fp(std)
         self._handle = lib.vox_feeder_create(
             c_paths, c_offs, c_labels, n, feat_dim, feat_length,
             batch_size, num_accumulation_steps, num_threads, seed,
             cmn_window if sliding_cmn else 0, skip_percent,
-            1 if wire_bf16 else 0)
+            1 if wire_bf16 else 0, c_mean, c_std)
         assert self._handle, "vox_feeder_create failed"
         # serializes in-flight get() against close(): destroy must never
         # free the C++ object while another thread (e.g. the training
@@ -237,6 +258,16 @@ class NativeBatchFeeder:
 
     def decode_errors(self) -> int:
         return int(self._lib.vox_feeder_errors(self._handle))
+
+    def dead_shards(self) -> int:
+        """Worker shards that produced zero samples over a full pass (one
+        corrupt ark = that fraction of the data silently gone).  The
+        training loop fails loudly on a non-zero value; total death already
+        raises from get() (rc -2)."""
+        if self._handle is None or not hasattr(self._lib,
+                                               "vox_feeder_dead_workers"):
+            return 0
+        return int(self._lib.vox_feeder_dead_workers(self._handle))
 
     def stop(self):
         if self._handle:

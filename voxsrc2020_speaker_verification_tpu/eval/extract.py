@@ -29,6 +29,15 @@ MAX_FRAMES = 1000  # ref tf_extract.py:96
 MIN_FRAMES = 25    # ref tf_extract.py:101-102
 
 
+def default_batch_size(model_name: str) -> int:
+    """Measured-best extraction bucket batch per model class on v5e
+    (PERF.md "Embedding extraction"): at B=64 each 1000-frame call on the
+    w24/att-class Res2Nets is dispatch/latency-bound -- B=128 is 2.4x
+    faster device-side; the small w8/TDNN models see no such win and keep
+    the lighter 64."""
+    return 128 if ("w24" in model_name or "_att" in model_name) else 64
+
+
 def chunk_spans(t: int, max_frames: int = MAX_FRAMES, min_frames: int = MIN_FRAMES):
     """[(start, length), ...] per the reference chunking rule."""
     if t < min_frames:

@@ -205,15 +205,30 @@ def fit(
                 done = log_every if cur % log_every == 0 else cur % log_every
                 rate = done / (now - t_log) * audio_s_per_step
                 t_log = now
+                # Feeder health (native C++ feeder, data/native.py): a shard
+                # that decodes nothing over a full pass is silent data loss
+                # -- fail loudly instead of training on a partial dataset.
+                errs = (batches.decode_errors()
+                        if hasattr(batches, "decode_errors") else 0)
                 log_fn(
                     f"step {cur}/{stop_step} loss {m['loss']:.4f} "
                     f"(ce {m['classification_loss']:.4f} reg {m['regularization_loss']:.4f}) "
                     f"acc {m['accuracy']:.4f} lr {m['learning_rate']:.6f} "
                     f"margin {m['margin']:.4f} gnorm {m['gradient_norm']:.2f} "
                     f"audio-s/s {rate:.0f}"
+                    + (f" decode-errors {errs}" if errs else "")
                 )
                 if metrics_writer is not None:
-                    metrics_writer.write(cur, m, audio_s_per_s=rate)
+                    metrics_writer.write(cur, m, audio_s_per_s=rate,
+                                         decode_errors=errs or None)
+                dead = (batches.dead_shards()
+                        if hasattr(batches, "dead_shards") else 0)
+                if dead:
+                    raise IOError(
+                        f"{dead} feeder shard(s) decoded nothing over a "
+                        f"full pass ({errs} decode errors): part of the "
+                        f"dataset is missing -- corrupt ark or feat-dim "
+                        f"mismatch; refusing to keep training")
             if mgr is not None and (
                     cur % epoch_size == 0
                     or (save_every_steps and cur % save_every_steps == 0)):
