@@ -129,22 +129,29 @@ def main(argv=None) -> None:
                                     config.num_classes, seed=i)
                    for i in range(4)]
     elif args.raw:
-        from ..data.raw_dataset import RawAudioShardDataset
+        from ..data import native as native_mod
         from ..ops.fbank import FbankConfig
         data_dir = os.path.join(args.data_root, config.dataset)
         utt2id = load_utt2id(os.path.join(data_dir, "utt2id.pkl"))
         w = args.num_workers
-        sources = [
-            RawAudioShardDataset(
-                os.path.join(data_dir, "wav.scp"), utt2id, config.feat_length,
-                cfg=FbankConfig(num_bins=config.feat_dim),
-                context=config.cmn_context,
-                shard_index=args.process_id * w + i,
-                num_shards=args.num_processes * w,
-                seed=args.seed + 1000 * args.process_id + i,
-            )
-            for i in range(w)
-        ]
+        use_native_raw = (
+            not args.no_native_feeder and native_mod.available()
+            and hasattr(native_mod.get_lib(), "vox_raw_feeder_create")
+        )
+        if not use_native_raw:
+            from ..data.raw_dataset import RawAudioShardDataset
+            sources = [
+                RawAudioShardDataset(
+                    os.path.join(data_dir, "wav.scp"), utt2id,
+                    config.feat_length,
+                    cfg=FbankConfig(num_bins=config.feat_dim),
+                    context=config.cmn_context,
+                    shard_index=args.process_id * w + i,
+                    num_shards=args.num_processes * w,
+                    seed=args.seed + 1000 * args.process_id + i,
+                )
+                for i in range(w)
+            ]
     else:
         from ..data import native as native_mod
         data_dir = os.path.join(args.data_root, config.dataset)
@@ -169,7 +176,20 @@ def main(argv=None) -> None:
     # each process feeds its local slice of the global per-microbatch batch
     assert config.batch_size % args.num_processes == 0
     local_batch = config.batch_size // args.num_processes
-    if not args.synthetic and not args.raw and use_native:
+    if args.raw and use_native_raw:
+        # whole raw hot loop (wav decode + online aug render + int16 crop +
+        # assembly) in the C++ thread pool (native/vox_raw.cc); this host
+        # shards the wav.scp by process id
+        feeder = native_mod.NativeRawBatchFeeder(
+            os.path.join(data_dir, "wav.scp"), utt2id, config.feat_length,
+            local_batch, config.num_accumulation_steps,
+            cfg=FbankConfig(num_bins=config.feat_dim),
+            context=config.cmn_context,
+            num_threads=args.num_workers,
+            seed=args.seed + 1000 * args.process_id,
+            shard_index=args.process_id, num_shards=args.num_processes,
+        ).start()
+    elif not args.synthetic and not args.raw and use_native:
         # whole hot loop (ark decode + CMN + crop + assembly + bf16 wire)
         # in the C++ thread pool, one ctypes call per optimizer step
         # (native/vox_feeder.cc)

@@ -67,6 +67,39 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.vox_free.restype = None
         lib.vox_free.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "vox_render_spec"):
+            lib.vox_render_spec.restype = ctypes.c_int
+            lib.vox_render_spec.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+        if hasattr(lib, "vox_raw_feeder_create"):
+            lib.vox_raw_feeder_create.restype = ctypes.c_void_p
+            lib.vox_raw_feeder_create.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_uint64, ctypes.c_int32,
+            ]
+            lib.vox_raw_feeder_next.restype = ctypes.c_int
+            lib.vox_raw_feeder_next.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.vox_raw_feeder_errors.restype = ctypes.c_int64
+            lib.vox_raw_feeder_errors.argtypes = [ctypes.c_void_p]
+            lib.vox_raw_feeder_dead_workers.restype = ctypes.c_int32
+            lib.vox_raw_feeder_dead_workers.argtypes = [ctypes.c_void_p]
+            lib.vox_raw_feeder_stop.restype = None
+            lib.vox_raw_feeder_stop.argtypes = [ctypes.c_void_p]
+            lib.vox_raw_feeder_destroy.restype = None
+            lib.vox_raw_feeder_destroy.argtypes = [ctypes.c_void_p]
         if hasattr(lib, "vox_feeder_create"):
             lib.vox_feeder_create.restype = ctypes.c_void_p
             lib.vox_feeder_create.argtypes = [
@@ -281,6 +314,136 @@ class NativeBatchFeeder:
             with self._io_lock:
                 if self._handle:
                     self._lib.vox_feeder_destroy(self._handle)
+                    self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def render_spec(rxwav: str) -> Tuple[np.ndarray, int]:
+    """Render one wav.scp value (plain path or JSON augmentation spec) via
+    the C++ implementation (native/vox_raw.cc) -- the native counterpart of
+    data.augment.load_utterance, parity-tested against it."""
+    lib = get_lib()
+    assert lib is not None and hasattr(lib, "vox_render_spec"), \
+        "native raw renderer unavailable"
+    out = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_int64()
+    sr = ctypes.c_int32()
+    rc = lib.vox_render_spec(rxwav.encode(), ctypes.byref(out),
+                             ctypes.byref(n), ctypes.byref(sr))
+    if rc != 0:
+        raise IOError(f"vox_render_spec failed ({rc}): {rxwav[:120]!r}")
+    return _take(lib, out, (n.value,)), sr.value
+
+
+class NativeRawBatchFeeder:
+    """Whole raw-audio host hot loop in C++ (native/vox_raw.cc): wav decode,
+    online augmentation-spec rendering (FFT reverb + SNR mixing), int16
+    crop with CMVN context, batch assembly -- one ctypes call per optimizer
+    step (GIL released).  Drop-in for BatchFeeder over RawAudioShardDataset
+    sources (data/raw_dataset.py, the Python reference implementation);
+    batches come out as the ((waves, num_samples, target_offset, pad_shift),
+    labels) tuple ops/pipeline.py:waveform_to_features consumes."""
+
+    def __init__(
+        self,
+        wav_scp,
+        utt2id,
+        feat_length: int,
+        batch_size: int,
+        num_accumulation_steps: int = 1,
+        *,
+        cfg=None,
+        context: int = 150,
+        num_threads: int = 4,
+        seed: int = 0,
+        skip_percent: int = 10,
+        shard_index: int = 0,
+        num_shards: int = 1,
+    ):
+        lib = get_lib()
+        assert lib is not None and hasattr(lib, "vox_raw_feeder_create"), \
+            "native raw feeder unavailable (build native/libvox_io.so)"
+        from ..ops.fbank import FbankConfig
+        from ..ops.pipeline import max_crop_samples
+        from ..utils import datadir
+
+        cfg = cfg or FbankConfig()
+        entries = list(datadir.read_two_column(wav_scp).items())
+        entries = entries[shard_index::num_shards]
+        assert entries, (wav_scp, shard_index, num_shards)
+        rxwavs = [v.encode() for _, v in entries]
+        labels = [int(utt2id[k]) if utt2id else 0 for k, _ in entries]
+        n = len(entries)
+        c_rx = (ctypes.c_char_p * n)(*rxwavs)
+        c_labels = (ctypes.c_int32 * n)(*labels)
+        self._lib = lib
+        self.a, self.b = num_accumulation_steps, batch_size
+        self.max_samples = max_crop_samples(feat_length, context, cfg)
+        self._handle = lib.vox_raw_feeder_create(
+            c_rx, c_labels, n, feat_length, context,
+            cfg.frame_shift, cfg.frame_length,
+            batch_size, num_accumulation_steps, num_threads, seed,
+            skip_percent)
+        assert self._handle, "vox_raw_feeder_create failed"
+        self._io_lock = threading.Lock()
+
+    def start(self) -> "NativeRawBatchFeeder":
+        return self  # workers start in the constructor
+
+    def get(self, timeout=None):
+        a, b, s = self.a, self.b, self.max_samples
+        waves = np.empty((a, b, s), np.int16)
+        ns = np.empty((a, b), np.int32)
+        off = np.empty((a, b), np.int32)
+        shift = np.empty((a, b), np.int32)
+        labels = np.empty((a, b), np.int32)
+        as_i32 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        with self._io_lock:
+            if self._handle is None:
+                raise StopIteration
+            rc = self._lib.vox_raw_feeder_next(
+                self._handle, waves.ctypes.data_as(ctypes.c_void_p),
+                as_i32(ns), as_i32(off), as_i32(shift), as_i32(labels))
+            if rc == -2:
+                nerr = int(self._lib.vox_raw_feeder_errors(self._handle))
+                raise IOError(
+                    f"native raw feeder: every shard failed to decode "
+                    f"({nerr} errors) -- bad wav paths or malformed specs?")
+        if rc != 0:
+            raise StopIteration
+        return (waves, ns, off, shift), labels
+
+    def __iter__(self):
+        while True:
+            try:
+                yield self.get()
+            except StopIteration:
+                return
+
+    def decode_errors(self) -> int:
+        return int(self._lib.vox_raw_feeder_errors(self._handle))
+
+    def dead_shards(self) -> int:
+        if self._handle is None:
+            return 0
+        return int(self._lib.vox_raw_feeder_dead_workers(self._handle))
+
+    def stop(self):
+        if self._handle:
+            self._lib.vox_raw_feeder_stop(self._handle)
+
+    def close(self):
+        if self._handle:
+            # stop OUTSIDE the lock: unblocks any get() inside _next
+            self._lib.vox_raw_feeder_stop(self._handle)
+            with self._io_lock:
+                if self._handle:
+                    self._lib.vox_raw_feeder_destroy(self._handle)
                     self._handle = None
 
     def __del__(self):
