@@ -436,16 +436,32 @@ bool render_spec_impl(const Spec& spec, std::vector<float>* out,
     Wav noise;
     if (!noise.read(nd.path)) return false;
     if (nd.extend) {
-      // loop/truncate to the full signal duration (extend_to_duration)
-      const size_t want = out->size();
-      std::vector<float> looped(want);
-      if (noise.n > 0) {
-        const size_t m2 = (size_t)noise.n;
-        for (size_t at = 0; at < want; at += m2)
-          std::memcpy(looped.data() + at, noise.data,
-                      std::min(m2, want - at) * 4);
+      // noise looped to the full signal duration (extend_to_duration) then
+      // mixed -- done without materializing the looped buffer: the segment
+      // power decomposes into full repetitions + a prefix, and the add
+      // walks the source in chunks
+      const int64_t n = (int64_t)out->size();
+      const size_t m2 = (size_t)noise.n;
+      if (nd.start >= n || m2 == 0) continue;
+      const size_t seg = (size_t)(n - nd.start);
+      double e_m = 0.0, e_pre = 0.0;
+      for (size_t i = 0; i < m2; ++i)
+        e_m += (double)noise.data[i] * (double)noise.data[i];
+      const size_t rem = seg % m2;
+      for (size_t i = 0; i < rem; ++i)
+        e_pre += (double)noise.data[i] * (double)noise.data[i];
+      const double p_noise = ((double)(seg / m2) * e_m + e_pre) / seg;
+      if (p_noise <= 0.0) continue;
+      const double p_sig = power(out->data(), (size_t)n);
+      const double scale =
+          std::sqrt(p_sig / (p_noise * std::pow(10.0, nd.snr / 10.0)));
+      float* dst = out->data() + nd.start;
+      for (size_t at = 0; at < seg;) {
+        const size_t chunk = std::min(m2, seg - at);
+        for (size_t i = 0; i < chunk; ++i)
+          dst[at + i] += (float)(scale * (double)noise.data[i]);
+        at += chunk;
       }
-      add_noise(*out, looped.data(), want, nd.snr, nd.start);
     } else {
       add_noise(*out, noise.data, (size_t)noise.n, nd.snr, nd.start);
     }

@@ -119,15 +119,20 @@ def build_wav_corpus(root, num_utts, seconds=(3.0, 8.0), sample_rate=16000):
     return data_dir, aug_dir, utt2id, aug_utt2id
 
 
-def timed(feeder, batch, accum, n_batches, warmup=2):
+def timed(feeder, batch, accum, n_batches, warmup=2, min_seconds=10.0):
+    """Steady-state producer rate: drain the warmup + queue prefill, then
+    consume for at least `n_batches` AND `min_seconds` (a short window
+    mostly measures the depth-2 queue buffer, not the producers)."""
     it = iter(feeder)
     for _ in range(warmup):
         next(it)
     t0 = time.perf_counter()
-    for _ in range(n_batches):
-        f, l = next(it)
+    done = 0
+    while done < n_batches or time.perf_counter() - t0 < min_seconds:
+        next(it)
+        done += 1
     dt = time.perf_counter() - t0
-    samples = n_batches * batch * accum
+    samples = done * batch * accum
     return samples / dt, samples * FEAT_LEN / 100.0 / dt
 
 

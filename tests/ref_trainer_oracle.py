@@ -16,7 +16,12 @@ fixed synthetic batches on CPU, and dumps:
 The step count crosses the LR warmup boundary (3 epochs) and two margin
 staircase increments, so schedule wiring is exercised, not just one regime.
 
-Usage: python ref_trainer_oracle.py <out.npz>
+Works for every model family -- the reference trains them all through this
+one trainer (run_*.sh all pass tf_train_tdnn.py as py_main): tdnn feeds
+(B, T, 1, F) [expansion_dim 2], res2net/dpn feed (B, T, F, 1)
+[expansion_dim 3] (ref tf_train_tdnn.py:189-195, run scripts arg 24).
+
+Usage: python ref_trainer_oracle.py <out.npz> [model_name]
 """
 
 import sys
@@ -27,15 +32,30 @@ import numpy as np
 # Geometry chosen so 10 optimizer steps cross schedule boundaries:
 # EPOCH_SIZE=2 -> warmup ends at step 6, margin grows from step 6 in
 # per-epoch staircase increments (boundaries [6, 26]).
-FEAT_DIM, T, BATCH, ACCUM = 40, 50, 4, 2
+FEAT_DIM, BATCH, ACCUM = 40, 4, 2
 NUM_CLASSES, SCALE, MARGIN = 11, 32.0, 0.2
 DATASET_LENGTH = 16            # EPOCH_SIZE = 16 // 4 // 2 = 2
 NUM_STEPS = 10                 # optimizer steps (x ACCUM microbatches)
 PROJECTION = "sc_cm_linear"
+# crop length per model: 2-D CNNs use a shorter crop to keep the TF-CPU
+# oracle fast; 32 frames still survive the three stride-2 stages
+MODEL_T = {"tdnn": 50}
+DEFAULT_T = 32
+# Base LR per model.  The deep 2-D CNNs are chaotic at the recipe LR with
+# batch 4: a 1-ulp param perturbation moves the step-0 CE by ~2e-4
+# (measured), and 10 full-LR steps amplify backend reorder noise to O(1) --
+# trajectories separate with NO wiring difference.  A 10x-smaller LR keeps
+# the trajectories close while wiring errors (missing l2 = 1e-3*param/step,
+# wrong clip/momentum/BN update) remain orders above the noise floor.
+MODEL_LR = {"tdnn": 0.08 / 128 * BATCH * ACCUM}
+DEFAULT_LR = 0.08 / 128 * BATCH * ACCUM / 10.0
 
 
 def main() -> None:
     out_path = sys.argv[1]
+    model_name = sys.argv[2] if len(sys.argv) > 2 else "tdnn"
+    T = MODEL_T.get(model_name, DEFAULT_T)
+    base_lr = MODEL_LR.get(model_name, DEFAULT_LR)
 
     sys.modules.setdefault("horovod", types.ModuleType("horovod"))
     sys.modules.setdefault(
@@ -54,16 +74,73 @@ def main() -> None:
 
     import tf_projection
     import tf_scheduler
-    from models import tdnn_model
+
+    if model_name.startswith("dpn"):
+        # TF CPU cannot backprop grouped convolutions ("Gradients for
+        # grouped convolutions are not supported on CPU").  The reference
+        # ships its own CPU fallback as a comment in models.py:206-218 --
+        # the same kernel variable, computed as per-group convs + concat
+        # (mathematically identical).  Patch models.conv2d BEFORE dpn_model
+        # does `from .models import conv2d`.
+        from models import models as ref_models
+
+        def conv2d_cpu(inputs, filters, kernel_size, strides=1,
+                       padding='valid', dilation_rate=(1, 1), trainable=True,
+                       cardinality=1, reuse=None, scope=None,
+                       data_format='channels_last', l2=1e-3):
+            with tf.variable_scope(name_or_scope=scope,
+                                   default_name='conv2d', values=[inputs],
+                                   reuse=reuse):
+                channel_axis = 3 if data_format == 'channels_last' else 1
+                in_channels = inputs.get_shape().as_list()[channel_axis]
+                assert in_channels % cardinality == 0
+                assert filters % cardinality == 0
+                pad = padding.upper() if isinstance(padding, str) else padding
+                fmt = 'NHWC' if data_format == 'channels_last' else 'NCHW'
+                ks = ([kernel_size, kernel_size]
+                      if isinstance(kernel_size, int) else list(kernel_size))
+                group_filters = tf.get_variable(
+                    name='kernel',
+                    initializer=tf.compat.v1.variance_scaling_initializer(),
+                    regularizer=ref_models.l2_regularizer(l2),
+                    shape=ks + [in_channels // cardinality, filters],
+                    trainable=trainable, dtype=tf.float32)
+                if cardinality == 1:
+                    return tf.nn.conv2d(inputs, group_filters,
+                                        strides=strides, padding=pad,
+                                        data_format=fmt,
+                                        dilations=dilation_rate)
+                xs = tf.split(inputs, cardinality, channel_axis)
+                kernels = tf.split(group_filters, cardinality, 3)
+                outs = [tf.nn.conv2d(i, k, strides=strides, padding=pad,
+                                     data_format=fmt,
+                                     dilations=dilation_rate)
+                        for i, k in zip(xs, kernels)]
+                return tf.concat(outs, channel_axis)
+
+        ref_models.conv2d = conv2d_cpu
+
+    if model_name == "tdnn":
+        from models import tdnn_model
+        model = tdnn_model.tdnn
+        shape = [None, None, 1, FEAT_DIM]   # expansion_dim 2 (1-D convs)
+    elif model_name.startswith("dpn"):
+        from models import dpn_model
+        model = getattr(dpn_model, model_name)
+        shape = [None, None, FEAT_DIM, 1]   # expansion_dim 3 (2-D convs)
+    else:
+        from models import res2net_model
+        model = getattr(res2net_model, model_name)
+        shape = [None, None, FEAT_DIM, 1]
 
     epoch_size = DATASET_LENGTH // BATCH // ACCUM  # ref :150 (world size 1)
 
     # --- graph, following ref tf_train_tdnn.py:194-258 ---
-    X = tf.placeholder(tf.float32, [None, None, 1, FEAT_DIM], name="inputs")
+    X = tf.placeholder(tf.float32, shape, name="inputs")
     Y = tf.placeholder(tf.int32, [None], name="labels")
     global_step = tf.train.get_or_create_global_step()
     learning_rate = tf_scheduler.warmup_constant_exponential_decay(
-        0.08 / 128 * 1 * BATCH * ACCUM, global_step,
+        base_lr, global_step,
         [epoch_size * 3, epoch_size * 13, epoch_size * 23], epoch_size,
         decay_rate=0.5, staircase=True)                        # ref :198
     margin = tf_scheduler.zero_linear_constant(
@@ -73,7 +150,7 @@ def main() -> None:
         learning_rate=learning_rate, momentum=0.9)             # ref :203
 
     tf.set_random_seed(0)
-    emb = tdnn_model.tdnn(inputs=X, training=True)             # ref :210
+    emb = model(inputs=X, training=True)                       # ref :210
     logits = tf_projection.sc_cm_linear(
         emb, Y, NUM_CLASSES, scale=SCALE, margin=margin,
         name=PROJECTION)                                       # ref :214
@@ -143,6 +220,7 @@ def main() -> None:
 
     dump = {"__feats__": feats, "__labels__": labels,
             "__epoch_size__": np.int64(epoch_size)}
+    expand_axis = 2 if model_name == "tdnn" else 3  # ref :189-195
     logs = []
     with tf.Session() as sess:
         sess.run(tf.global_variables_initializer())
@@ -152,7 +230,8 @@ def main() -> None:
             _, gs, ce, reg, acc, lr, mt = sess.run(
                 [train_op, global_step, classification_loss,
                  regularization_loss, accuracy, learning_rate, margin_total],
-                feed_dict={X: feats[k][:, :, None, :], Y: labels[k]})
+                feed_dict={X: np.expand_dims(feats[k], expand_axis),
+                           Y: labels[k]})
             logs.append((gs, ce, reg, acc, lr, mt))
         for v in tf.global_variables():
             dump["final/" + v.name] = sess.run(v)

@@ -85,7 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
-    args = build_parser().parse_args(argv)
+    p = build_parser()
+    args = p.parse_args(argv)
+    if args.cmvn_pkl and (args.raw or args.synthetic):
+        p.error("--cmvn-pkl applies to the precomputed-feature path only "
+                "(the raw path normalizes on device, ops/pipeline.py)")
 
     if args.coordinator:
         import jax
