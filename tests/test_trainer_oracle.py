@@ -72,11 +72,12 @@ def oracle(request, tmp_path_factory):
     pytest.importorskip("tensorflow")
     model = request.param
     out = tmp_path_factory.mktemp("trainer") / f"trainer_oracle_{model}.npz"
+    # NB: oneDNN must stay ON -- vanilla TF-CPU has no dilated-conv
+    # backward (the TDNN's dilation-3 block dies in Conv2DBackpropFilter
+    # with TF_ENABLE_ONEDNN_OPTS=0), and disabling it does not reduce the
+    # deep models' reorder noise anyway (measured: ~3e-4 either way).
     env = dict(os.environ, TF_USE_LEGACY_KERAS="1",
-               CUDA_VISIBLE_DEVICES="", JAX_PLATFORMS="cpu",
-               # oneDNN reorders fp reductions; the deeper models drift a
-               # hair past the CE tolerance with it on
-               TF_ENABLE_ONEDNN_OPTS="0")
+               CUDA_VISIBLE_DEVICES="", JAX_PLATFORMS="cpu")
     res = subprocess.run(
         [sys.executable, ORACLE, str(out), model],
         capture_output=True, text=True, env=env, timeout=1800,

@@ -94,9 +94,17 @@ def wave_feature_stream(
     window semantics) before chunking."""
     import jax
 
-    from ..data.augment import load_utterance
+    from ..data import native
+    from ..data.augment import load_utterance as load_utterance_py
     from ..ops.fbank import FbankConfig, fbank_i16, num_frames, pcm16
     from ..utils import datadir
+
+    # C++ renderer when built (native/vox_raw.cc, parity-tested against the
+    # Python implementation in tests/test_native_raw.py); Python fallback
+    if native.available() and hasattr(native.get_lib(), "vox_render_spec"):
+        load_utterance = native.render_spec
+    else:
+        load_utterance = load_utterance_py
 
     cfg = FbankConfig(num_bins=feat_dim, dither=0.0)
     # int16 wire (ops.fbank.fbank_i16): halves the host->device transfer
