@@ -44,6 +44,7 @@
 #include <deque>
 #include <mutex>
 #include <random>
+#include <memory>
 #include <string>
 #include <thread>
 #include <unordered_map>
@@ -328,62 +329,82 @@ double power(const float* x, size_t n) {  // augment.py:_power
   return acc / (double)(n > 0 ? n : 1);
 }
 
-// RIR spectrum cache: (path, fft size) -> spectrum + direct-path shift.
-// One training pass revisits each RIR at a handful of pow-2 sizes.
+// RIR spectrum cache: (path, fft size) -> shared spectrum + direct-path
+// shift.  One training pass revisits each RIR at a handful of pow-2 sizes.
+// shared_ptr values: a reader keeps its entry alive across the (long)
+// convolution even if another thread evicts the cache meanwhile.  A
+// second, tiny path->length map avoids re-reading the RIR file on cache
+// hits just to compute the FFT size.
 struct RirEntry {
   std::vector<cfloat> spec;
   size_t shift;
 };
 std::mutex g_rir_mu;
-// key = path + '\0' + size; bounded (RIRS_NOISES is ~60k entries max, each
-// spectrum ~1 MB -- cap to keep worst-case memory sane)
-#include <unordered_map>
-std::unordered_map<std::string, RirEntry> g_rir_cache;
+std::unordered_map<std::string, std::shared_ptr<RirEntry>> g_rir_cache;
+std::unordered_map<std::string, int64_t> g_rir_len;  // path -> samples
+// spectrum cache bounded (each entry ~1 MB; RIRS_NOISES is ~60k files);
+// the length map is a few bytes per path and never cleared
 constexpr size_t kRirCacheMax = 4096;
 
-bool rir_spectrum(const std::string& path, size_t sz,
-                  const RirEntry** out) {
+// Spectrum of `path` zero-padded to `sz`, plus its direct-path shift.
+// `pre` is the already-decoded wav when the caller just read it (avoids a
+// second read on a cache miss); nullptr otherwise.
+bool rir_spectrum(const std::string& path, size_t sz, const Wav* pre,
+                  std::shared_ptr<RirEntry>* out) {
   const std::string key = path + '\0' + std::to_string(sz);
   {
     std::lock_guard<std::mutex> lk(g_rir_mu);
     auto it = g_rir_cache.find(key);
-    if (it != g_rir_cache.end()) { *out = &it->second; return true; }
+    if (it != g_rir_cache.end()) { *out = it->second; return true; }
   }
-  Wav rir;
-  if (!rir.read(path)) return false;
-  RirEntry e;
-  e.shift = 0;  // argmax |rir|: first max, like np.argmax
+  Wav local;
+  const Wav* rir = pre;
+  if (rir == nullptr) {
+    if (!local.read(path)) return false;
+    rir = &local;
+  }
+  auto e = std::make_shared<RirEntry>();
+  e->shift = 0;  // argmax |rir|: first max, like np.argmax
   double best = -1.0;
-  for (int64_t i = 0; i < rir.n; ++i) {
-    const double v = std::fabs((double)rir.data[i]);
-    if (v > best) { best = v; e.shift = (size_t)i; }
+  for (int64_t i = 0; i < rir->n; ++i) {
+    const double v = std::fabs((double)rir->data[i]);
+    if (v > best) { best = v; e->shift = (size_t)i; }
   }
-  rfft(rir.data, (size_t)rir.n, sz, &e.spec);
+  rfft(rir->data, (size_t)rir->n, sz, &e->spec);
   std::lock_guard<std::mutex> lk(g_rir_mu);
+  g_rir_len[path] = rir->n;
   if (g_rir_cache.size() >= kRirCacheMax) g_rir_cache.clear();
-  auto ins = g_rir_cache.emplace(std::move(key), std::move(e));
-  *out = &ins.first->second;
+  g_rir_cache.emplace(std::move(key), e);
+  *out = std::move(e);
   return true;
 }
 
 // RIR convolution keeping the input length; shift-output + power
 // normalization (augment.py:reverberate, == wav-reverberate defaults).
-// rir_len is needed for the linear-convolution padding.
 bool reverberate(std::vector<float>& sig, const std::string& rir_path) {
   const size_t n = sig.size();
   if (n == 0) return true;
-  // the FFT size needs the RIR length; RIR files are short (<= ~4 s), so
-  // re-reading one per reverb is noise next to the signal FFTs while the
-  // expensive part (the RIR *spectrum*) stays cached
-  Wav probe;
-  if (!probe.read(rir_path)) return false;
-  const size_t m = (size_t)probe.n;
+  // RIR length (needed for the FFT size): length map, else one file read
+  // that is reused for the spectrum below
+  int64_t m64 = -1;
+  {
+    std::lock_guard<std::mutex> lk(g_rir_mu);
+    auto it = g_rir_len.find(rir_path);
+    if (it != g_rir_len.end()) m64 = it->second;
+  }
+  Wav pre;
+  if (m64 < 0) {
+    if (!pre.read(rir_path)) return false;
+    m64 = pre.n;
+  }
+  const size_t m = (size_t)m64;
   if (m == 0) return true;
   const size_t full = n + m - 1;
   size_t sz = 1;
   while (sz < full) sz <<= 1;
-  const RirEntry* rir = nullptr;
-  if (!rir_spectrum(rir_path, sz, &rir)) return false;
+  std::shared_ptr<RirEntry> rir;
+  if (!rir_spectrum(rir_path, sz, pre.data ? &pre : nullptr, &rir))
+    return false;
 
   std::vector<cfloat> spec;
   rfft(sig.data(), n, sz, &spec);
@@ -409,7 +430,7 @@ bool reverberate(std::vector<float>& sig, const std::string& rir_path) {
 void add_noise(std::vector<float>& sig, const float* noise, size_t noise_len,
                double snr_db, int64_t start) {
   const int64_t n = (int64_t)sig.size();
-  if (start >= n) return;
+  if (start < 0 || start >= n) return;  // reject out-of-range offsets
   const size_t seg = std::min<int64_t>((int64_t)noise_len, n - start);
   if (seg == 0) return;
   const double p_sig = power(sig.data(), n);
@@ -442,7 +463,7 @@ bool render_spec_impl(const Spec& spec, std::vector<float>* out,
       // walks the source in chunks
       const int64_t n = (int64_t)out->size();
       const size_t m2 = (size_t)noise.n;
-      if (nd.start >= n || m2 == 0) continue;
+      if (nd.start < 0 || nd.start >= n || m2 == 0) continue;
       const size_t seg = (size_t)(n - nd.start);
       double e_m = 0.0, e_pre = 0.0;
       for (size_t i = 0; i < m2; ++i)

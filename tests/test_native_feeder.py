@@ -302,6 +302,39 @@ def test_cmvn_pkl_matches_python(tmp_path):
         feeder.close()
 
 
+def test_cmvn_pkl_keepdims_shapes_accepted(tmp_path):
+    """(1, F) keepdims pickles broadcast in the Python path and must load
+    in the native feeder too (round-3 review finding)."""
+    import pickle
+
+    T = 40
+    scp, mats, utt2id = _make_corpus(tmp_path, [T])
+    rng = np.random.RandomState(3)
+    pkl = str(tmp_path / "cmvn_keepdims.pkl")
+    mean = rng.randn(1, FEAT_DIM).astype(np.float32)
+    std = (0.5 + rng.rand(1, FEAT_DIM)).astype(np.float32)
+    with open(pkl, "wb") as f:
+        pickle.dump((mean, std), f)
+    feeder = native.NativeBatchFeeder(
+        scp, utt2id, FEAT_DIM, feat_length=T, batch_size=1,
+        num_accumulation_steps=1, num_threads=1, seed=0,
+        sliding_cmn=False, skip_percent=0, cmvn_pkl=pkl)
+    try:
+        feats, _ = feeder.get()
+        want = (mats["utt000"] - mean[0]) / std[0]
+        np.testing.assert_allclose(feats[0, 0], want, rtol=1e-6, atol=1e-6)
+    finally:
+        feeder.close()
+    # dimension mismatch fails loudly, not silently
+    with open(pkl, "wb") as f:
+        pickle.dump((np.zeros(FEAT_DIM + 2, np.float32),
+                     np.ones(FEAT_DIM + 2, np.float32)), f)
+    with pytest.raises(AssertionError, match="dims"):
+        native.NativeBatchFeeder(
+            scp, utt2id, FEAT_DIM, feat_length=T, batch_size=1,
+            cmvn_pkl=pkl)
+
+
 def test_partial_dead_shard_detected(tmp_path):
     """One corrupt shard out of two must NOT be silent: the feeder keeps
     producing from the live shard but reports the dead one via

@@ -102,6 +102,22 @@ def test_noise_overrunning_signal_end(tmp_path):
     assert_render_matches(json.dumps(spec, separators=(",", ":")))
 
 
+def test_negative_noise_start_is_rejected_safely(tmp_path):
+    """A corrupt/hand-edited spec with a negative start offset must not
+    write out of bounds: the noise entry is ignored (the policies never
+    emit negative offsets; Python's slice semantics would wrap, which is
+    equally meaningless -- safety is the contract here)."""
+    src = _wav(tmp_path, "src", 1.0, 50)
+    spec = {"source": src, "rir": None,
+            "noises": [{"path": _wav(tmp_path, "n", 0.5, 51),
+                        "snr": 5, "start": -4000, "extend": False},
+                       {"path": _wav(tmp_path, "n2", 0.5, 52),
+                        "snr": 5, "start": -1, "extend": True}]}
+    got, sr = native.render_spec(json.dumps(spec, separators=(",", ":")))
+    want, _ = audio.read_wav(src)
+    np.testing.assert_array_equal(got, want)  # both noises ignored
+
+
 def test_malformed_spec_raises():
     with pytest.raises(IOError):
         native.render_spec('{"source": "missing.wav"')

@@ -241,10 +241,18 @@ class NativeBatchFeeder:
 
             with open(cmvn_pkl, "rb") as f:
                 mean, std = pickle.load(f)
-            mean = np.ascontiguousarray(
-                np.broadcast_to(np.asarray(mean, np.float32), (feat_dim,)))
-            std = np.ascontiguousarray(
-                np.broadcast_to(np.asarray(std, np.float32), (feat_dim,)))
+
+            def as_row(x, what):
+                # accept (F,), (1, F) keepdims, or scalar, like the Python
+                # path's broadcasting `(feat - mean) / std`
+                x = np.asarray(x, np.float32).reshape(-1)
+                if x.size == 1:
+                    x = np.full(feat_dim, x[0], np.float32)
+                assert x.size == feat_dim, \
+                    f"cmvn {what} has {x.size} dims, features have {feat_dim}"
+                return np.ascontiguousarray(x)
+
+            mean, std = as_row(mean, "mean"), as_row(std, "std")
             self._cmvn_arrays = (mean, std)  # keep alive past create
             as_fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
             c_mean, c_std = as_fp(mean), as_fp(std)

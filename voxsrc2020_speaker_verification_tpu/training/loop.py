@@ -219,8 +219,9 @@ def fit(
                     + (f" decode-errors {errs}" if errs else "")
                 )
                 if metrics_writer is not None:
-                    metrics_writer.write(cur, m, audio_s_per_s=rate,
-                                         decode_errors=errs or None)
+                    metrics_writer.write(
+                        cur, m, audio_s_per_s=rate,
+                        **({"decode_errors": errs} if errs else {}))
                 dead = (batches.dead_shards()
                         if hasattr(batches, "dead_shards") else 0)
                 if dead:
