@@ -279,6 +279,36 @@ def test_train_cli_raw_uses_native_feeder(tmp_path, monkeypatch, capsys):
     assert "done: 1 steps" in capsys.readouterr().out
 
 
+def test_feeder_host_sharding_partitions_corpus(tmp_path):
+    """shard_index/num_shards must partition the wav.scp like the Python
+    dataset's strided slicing (multi-host raw feeding, cli.train
+    --process-id/--num-processes): each shard sees only its own labels and
+    the union covers everything."""
+    cfg = FbankConfig(num_bins=8)
+    entries, utt2id = {}, {}
+    for i in range(6):
+        entries[f"u{i}"] = _wav(tmp_path, f"u{i}", 0.8, 60 + i)
+        utt2id[f"u{i}"] = i  # unique label == utterance identity
+    scp = _scp(tmp_path, entries)
+    seen = {}
+    for shard in range(2):
+        feeder = native.NativeRawBatchFeeder(
+            scp, utt2id, 30, batch_size=3, num_accumulation_steps=1,
+            cfg=cfg, context=10, num_threads=1, seed=0, skip_percent=0,
+            shard_index=shard, num_shards=2)
+        try:
+            labels = set()
+            for _ in range(4):
+                _, lb = feeder.get()
+                labels.update(int(v) for v in lb.ravel())
+            seen[shard] = labels
+        finally:
+            feeder.close()
+    # strided partition: shard 0 = utts {0,2,4}, shard 1 = {1,3,5}
+    assert seen[0] == {0, 2, 4}, seen
+    assert seen[1] == {1, 3, 5}, seen
+
+
 def test_feeder_dead_on_bad_paths(tmp_path):
     scp = _scp(tmp_path, {"u0": "/nonexistent/a.wav",
                           "u1": "/nonexistent/b.wav"})
