@@ -25,16 +25,13 @@
 // vox_feeder_destroy.  vox_feeder_next blocks until a full optimizer-step
 // batch is available and writes into caller-owned buffers.
 
-#include <atomic>
-#include <condition_variable>
 #include <cstdint>
 #include <cstring>
-#include <deque>
-#include <mutex>
 #include <random>
 #include <string>
-#include <thread>
 #include <vector>
+
+#include "feeder_core.h"
 
 // Public decoder from vox_io.cc (linked into the same libvox_io.so).
 extern "C" int vox_read_mat(const char* path, int64_t offset, float** out,
@@ -98,89 +95,49 @@ struct Feeder {
   std::vector<float> cmvn_mean, cmvn_std;
 
   std::vector<Entry> entries;
+  FeederCore<Sample> core;  // queue/workers/dead-shard protocol
 
-  // bounded sample queue
-  std::deque<Sample> q;
-  std::mutex mu;
-  std::condition_variable cv_space, cv_items;
-  size_t cap = 0;
-  std::atomic<bool> stop{false};
-  std::atomic<bool> failed{false};  // every shard decodes nothing
-  std::atomic<int> dead_workers{0};
-  int n_workers = 0;
-  std::atomic<int64_t> decode_errors{0};
-  std::vector<std::thread> workers;
-
-  void worker(size_t widx, size_t nworkers) {
-    std::mt19937_64 rng(seed * 0x9e3779b97f4a7c15ull + widx);
-    // contiguous shard per worker, like the reference's per-process scp
-    // shards (tf_train_tdnn.py:159-160)
-    const size_t n = entries.size();
-    const size_t lo = n * widx / nworkers, hi = n * (widx + 1) / nworkers;
-    if (lo >= hi) return;
-    while (!stop.load(std::memory_order_relaxed)) {
-      size_t attempts = 0, pushed = 0;
-      for (size_t i = lo; i < hi && !stop.load(std::memory_order_relaxed);
-           ++i) {
-        if (skip_percent > 0 &&
-            (int32_t)(rng() % 100) >= 100 - skip_percent)
-          continue;  // per-pass reshuffle (ref tf_data.py:69)
-        ++attempts;
-        const Entry& e = entries[i];
-        float* raw = nullptr;
-        int32_t t = 0, f = 0;
-        if (vox_read_mat(e.path.c_str(), e.offset, &raw, &t, &f) != 0 ||
-            f != feat_dim || t <= 0) {
-          if (raw) vox_free(raw);
-          decode_errors.fetch_add(1);
-          continue;
-        }
-        ++pushed;
-        if (apply_cmn) sliding_cmn(raw, t, f, cmn_window);
-        if (!cmvn_mean.empty()) {
-          for (int32_t i = 0; i < t; ++i) {
-            float* row = raw + (size_t)i * f;
-            for (int32_t j = 0; j < f; ++j)
-              row[j] = (row[j] - cmvn_mean[j]) / cmvn_std[j];
-          }
-        }
-
-        Sample s;
-        s.label = e.label;
-        s.feat.assign((size_t)feat_length * feat_dim, 0.0f);
-        const int32_t L = feat_length;
-        if (t < L) {  // random-shift zero-pad (ref tf_data.py:95-101)
-          const int32_t shift = (int32_t)(rng() % (uint64_t)(L - t + 1));
-          std::memcpy(s.feat.data() + (size_t)shift * f, raw,
-                      (size_t)t * f * 4);
-        } else {  // random crop (ref tf_data.py:84-93)
-          const int32_t shift = (int32_t)(rng() % (uint64_t)(t - L + 1));
-          std::memcpy(s.feat.data(), raw + (size_t)shift * f,
-                      (size_t)L * f * 4);
-        }
-        vox_free(raw);
-
-        std::unique_lock<std::mutex> lk(mu);
-        cv_space.wait(lk, [&] { return q.size() < cap || stop.load(); });
-        if (stop.load()) return;
-        q.push_back(std::move(s));
-        cv_items.notify_one();
-      }
-      // every non-skipped entry in this pass failed to decode: a dead
-      // shard (feat-dim mismatch / corrupt ark).  When ALL workers are
-      // dead the feeder can never produce -- fail loudly instead of
-      // letting vox_feeder_next block forever.
-      if (attempts > 0 && pushed == 0) {
-        if (dead_workers.fetch_add(1) + 1 >= n_workers) {
-          {
-            std::lock_guard<std::mutex> lk(mu);
-            failed.store(true);
-          }
-          cv_items.notify_all();
-        }
-        return;
+  // decode one scp entry -> (feat_length, feat_dim) crop (the per-entry
+  // body; shard split / skip / pass accounting live in feeder_core.h)
+  bool produce(size_t i, std::mt19937_64& rng, Sample* s) const {
+    const Entry& e = entries[i];
+    float* raw = nullptr;
+    int32_t t = 0, f = 0;
+    if (vox_read_mat(e.path.c_str(), e.offset, &raw, &t, &f) != 0 ||
+        f != feat_dim || t <= 0) {
+      if (raw) vox_free(raw);
+      return false;
+    }
+    if (apply_cmn) sliding_cmn(raw, t, f, cmn_window);
+    if (!cmvn_mean.empty()) {
+      for (int32_t r = 0; r < t; ++r) {
+        float* row = raw + (size_t)r * f;
+        for (int32_t j = 0; j < f; ++j)
+          row[j] = (row[j] - cmvn_mean[j]) / cmvn_std[j];
       }
     }
+    s->label = e.label;
+    s->feat.assign((size_t)feat_length * feat_dim, 0.0f);
+    const int32_t L = feat_length;
+    if (t < L) {  // random-shift zero-pad (ref tf_data.py:95-101)
+      const int32_t shift = (int32_t)(rng() % (uint64_t)(L - t + 1));
+      std::memcpy(s->feat.data() + (size_t)shift * f, raw,
+                  (size_t)t * f * 4);
+    } else {  // random crop (ref tf_data.py:84-93)
+      const int32_t shift = (int32_t)(rng() % (uint64_t)(t - L + 1));
+      std::memcpy(s->feat.data(), raw + (size_t)shift * f,
+                  (size_t)L * f * 4);
+    }
+    vox_free(raw);
+    return true;
+  }
+
+  void worker(size_t widx, size_t nworkers) {
+    core.worker_loop(
+        widx, nworkers, entries.size(), seed, skip_percent,
+        [this](size_t i, std::mt19937_64& rng, Sample* s) {
+          return produce(i, rng, s);
+        });
   }
 };
 
@@ -221,14 +178,14 @@ void* vox_feeder_create(const char* const* paths, const int64_t* offsets,
     fd->entries.push_back(Entry{paths[i], offsets[i], labels[i]});
   // two optimizer-step batches of headroom, like the Python feeder's
   // depth-2 queues (ref tf_train_tdnn.py:153)
-  fd->cap = (size_t)batch * accum * 2;
+  fd->core.cap = (size_t)batch * accum * 2;
   if (num_threads < 1) num_threads = 1;
   if ((size_t)num_threads > fd->entries.size())
     num_threads = (int32_t)fd->entries.size();
-  fd->n_workers = num_threads;
+  fd->core.n_workers = num_threads;
   for (int32_t w = 0; w < num_threads; ++w)
-    fd->workers.emplace_back(&Feeder::worker, fd, (size_t)w,
-                             (size_t)num_threads);
+    fd->core.workers.emplace_back(&Feeder::worker, fd, (size_t)w,
+                                  (size_t)num_threads);
   return fd;
 }
 
@@ -244,17 +201,8 @@ int vox_feeder_next(void* handle, void* feats_out, int32_t* labels_out) {
   const size_t sz = (size_t)fd->feat_length * fd->feat_dim;
   for (size_t k = 0; k < need; ++k) {
     Sample s;
-    {
-      std::unique_lock<std::mutex> lk(fd->mu);
-      fd->cv_items.wait(lk, [&] {
-        return !fd->q.empty() || fd->stop.load() || fd->failed.load();
-      });
-      if (fd->q.empty())
-        return fd->failed.load() && !fd->stop.load() ? -2 : -1;
-      s = std::move(fd->q.front());
-      fd->q.pop_front();
-      fd->cv_space.notify_one();
-    }
+    const int rc = fd->core.pop(&s);
+    if (rc != 0) return rc;
     labels_out[k] = s.label;
     if (fd->wire_bf16) {
       uint16_t* dst = (uint16_t*)feats_out + k * sz;
@@ -267,7 +215,7 @@ int vox_feeder_next(void* handle, void* feats_out, int32_t* labels_out) {
 }
 
 int64_t vox_feeder_errors(void* handle) {
-  return ((Feeder*)handle)->decode_errors.load();
+  return ((Feeder*)handle)->core.decode_errors.load();
 }
 
 // Workers that died after a full pass with zero successful decodes (one
@@ -275,25 +223,17 @@ int64_t vox_feeder_errors(void* handle) {
 // dataset is silently missing from training -- callers should fail loudly
 // (training/loop.py checks this every log interval).
 int32_t vox_feeder_dead_workers(void* handle) {
-  return ((Feeder*)handle)->dead_workers.load();
+  return ((Feeder*)handle)->core.dead_workers.load();
 }
 
 void vox_feeder_stop(void* handle) {
-  Feeder* fd = (Feeder*)handle;
-  {
-    // store under the queue mutex: a waiter that just evaluated its
-    // predicate cannot miss the flag + notification (lost wakeup)
-    std::lock_guard<std::mutex> lk(fd->mu);
-    fd->stop.store(true);
-  }
-  fd->cv_space.notify_all();
-  fd->cv_items.notify_all();
+  ((Feeder*)handle)->core.request_stop();
 }
 
 void vox_feeder_destroy(void* handle) {
   Feeder* fd = (Feeder*)handle;
-  vox_feeder_stop(handle);
-  for (auto& t : fd->workers) t.join();
+  fd->core.request_stop();
+  fd->core.join_all();
   delete fd;
 }
 

@@ -50,6 +50,8 @@
 #include <unordered_map>
 #include <vector>
 
+#include "feeder_core.h"
+
 extern "C" int vox_read_wav(const char* path, float** out, int64_t* n,
                             int32_t* sample_rate);
 extern "C" void vox_free(void* p);
@@ -99,6 +101,34 @@ struct JsonParser {
     if ((size_t)(end - p) >= l && !memcmp(p, s, l)) { p += l; return true; }
     return false;
   }
+  // \uXXXX (and surrogate pairs) -> UTF-8: json.dumps defaults to
+  // ensure_ascii=True, so every non-ASCII byte in a wav path arrives as
+  // escapes; decoding them to a single char would corrupt the path and
+  // silently drop those utterances as decode errors.
+  void append_utf8(std::string* out, uint32_t cp) {
+    if (cp < 0x80) {
+      *out += (char)cp;
+    } else if (cp < 0x800) {
+      *out += (char)(0xC0 | (cp >> 6));
+      *out += (char)(0x80 | (cp & 0x3F));
+    } else if (cp < 0x10000) {
+      *out += (char)(0xE0 | (cp >> 12));
+      *out += (char)(0x80 | ((cp >> 6) & 0x3F));
+      *out += (char)(0x80 | (cp & 0x3F));
+    } else {
+      *out += (char)(0xF0 | (cp >> 18));
+      *out += (char)(0x80 | ((cp >> 12) & 0x3F));
+      *out += (char)(0x80 | ((cp >> 6) & 0x3F));
+      *out += (char)(0x80 | (cp & 0x3F));
+    }
+  }
+
+  uint32_t hex4() {  // reads 4 hex digits at p, advances
+    char buf[5] = {p[0], p[1], p[2], p[3], 0};
+    p += 4;
+    return (uint32_t)strtol(buf, nullptr, 16);
+  }
+
   std::string parse_string() {
     std::string out;
     if (!consume('"')) { ok = false; return out; }
@@ -111,13 +141,19 @@ struct JsonParser {
           case 'r': out += '\r'; break;
           case 'b': out += '\b'; break;
           case 'f': out += '\f'; break;
-          case 'u':
-            if (end - p >= 5) {
-              char buf[5] = {p[1], p[2], p[3], p[4], 0};
-              out += (char)strtol(buf, nullptr, 16);  // ASCII subset
-              p += 4;
+          case 'u': {
+            if (end - p < 5) { ok = false; return out; }
+            ++p;
+            uint32_t cp = hex4();
+            if (cp >= 0xD800 && cp <= 0xDBFF && end - p >= 6 &&
+                p[0] == '\\' && p[1] == 'u') {
+              p += 2;
+              const uint32_t lo = hex4();
+              cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00);
             }
-            break;
+            append_utf8(&out, cp);
+            continue;  // p already past the escape
+          }
           default: out += *p;
         }
         ++p;
@@ -330,11 +366,19 @@ double power(const float* x, size_t n) {  // augment.py:_power
 }
 
 // RIR spectrum cache: (path, fft size) -> shared spectrum + direct-path
-// shift.  One training pass revisits each RIR at a handful of pow-2 sizes.
-// shared_ptr values: a reader keeps its entry alive across the (long)
-// convolution even if another thread evicts the cache meanwhile.  A
-// second, tiny path->length map avoids re-reading the RIR file on cache
-// hits just to compute the FFT size.
+// shift.  shared_ptr values: a reader keeps its entry alive across the
+// (long) convolution even if another thread evicts meanwhile.  A second,
+// tiny path->length map avoids re-reading the RIR file just to compute
+// the FFT size.
+//
+// Honesty about scale: with the full RIRS_NOISES simulated corpus (~60k
+// RIRs x several pow-2 signal sizes) a 4096-entry cache has a low hit
+// rate -- uniform RIR sampling has no locality to exploit -- and a miss
+// costs one extra forward FFT (~1.5 ms at 2^17, measured) on 1/5 of
+// crops, i.e. the worst case adds ~0.3 ms/crop over the all-hit bench
+// numbers.  The cache still wins for dev corpora, room-limited setups
+// and repeated sizes; eviction is single-victim (not clear-all) so one
+// insert cannot wipe every other thread's working set.
 struct RirEntry {
   std::vector<cfloat> spec;
   size_t shift;
@@ -373,7 +417,8 @@ bool rir_spectrum(const std::string& path, size_t sz, const Wav* pre,
   rfft(rir->data, (size_t)rir->n, sz, &e->spec);
   std::lock_guard<std::mutex> lk(g_rir_mu);
   g_rir_len[path] = rir->n;
-  if (g_rir_cache.size() >= kRirCacheMax) g_rir_cache.clear();
+  if (g_rir_cache.size() >= kRirCacheMax)
+    g_rir_cache.erase(g_rir_cache.begin());  // single victim, not clear-all
   g_rir_cache.emplace(std::move(key), e);
   *out = std::move(e);
   return true;
@@ -528,17 +573,7 @@ struct RawFeeder {
     int32_t label;
   };
   std::vector<Entry> entries;
-
-  std::deque<RawSample> q;
-  std::mutex mu;
-  std::condition_variable cv_space, cv_items;
-  size_t cap = 0;
-  std::atomic<bool> stop{false};
-  std::atomic<bool> failed{false};
-  std::atomic<int> dead_workers{0};
-  int n_workers = 0;
-  std::atomic<int64_t> decode_errors{0};
-  std::vector<std::thread> workers;
+  FeederCore<RawSample> core;  // queue/workers/dead-shard protocol
 
   int32_t num_frames(int64_t ns) const {  // Kaldi snip-edges (ops/fbank.py)
     if (ns < frame_length) return 0;
@@ -584,46 +619,24 @@ struct RawFeeder {
     return s;
   }
 
-  void worker(size_t widx, size_t nworkers) {
-    std::mt19937_64 rng(seed * 0x9e3779b97f4a7c15ull + widx);
-    const size_t n = entries.size();
-    const size_t lo = n * widx / nworkers, hi = n * (widx + 1) / nworkers;
-    if (lo >= hi) return;
-    while (!stop.load(std::memory_order_relaxed)) {
-      size_t attempts = 0, pushed = 0;
-      for (size_t i = lo; i < hi && !stop.load(std::memory_order_relaxed);
-           ++i) {
-        if (skip_percent > 0 &&
-            (int32_t)(rng() % 100) >= 100 - skip_percent)
-          continue;  // per-pass reshuffle (ref tf_data.py:69)
-        ++attempts;
-        std::vector<float> samples;
-        int32_t sr = 0;
-        if (!load_utterance(entries[i].rxwav, &samples, &sr) ||
-            num_frames((int64_t)samples.size()) < 1) {
-          decode_errors.fetch_add(1);
-          continue;
-        }
-        ++pushed;
-        RawSample s = crop(samples, rng, entries[i].label);
+  // decode + render + crop one wav.scp entry (the per-entry body; shard
+  // split / skip / pass accounting live in feeder_core.h)
+  bool produce(size_t i, std::mt19937_64& rng, RawSample* s) const {
+    std::vector<float> samples;
+    int32_t sr = 0;
+    if (!load_utterance(entries[i].rxwav, &samples, &sr) ||
+        num_frames((int64_t)samples.size()) < 1)
+      return false;
+    *s = crop(samples, rng, entries[i].label);
+    return true;
+  }
 
-        std::unique_lock<std::mutex> lk(mu);
-        cv_space.wait(lk, [&] { return q.size() < cap || stop.load(); });
-        if (stop.load()) return;
-        q.push_back(std::move(s));
-        cv_items.notify_one();
-      }
-      if (attempts > 0 && pushed == 0) {  // dead shard
-        if (dead_workers.fetch_add(1) + 1 >= n_workers) {
-          {
-            std::lock_guard<std::mutex> lk(mu);
-            failed.store(true);
-          }
-          cv_items.notify_all();
-        }
-        return;
-      }
-    }
+  void worker(size_t widx, size_t nworkers) {
+    core.worker_loop(
+        widx, nworkers, entries.size(), seed, skip_percent,
+        [this](size_t i, std::mt19937_64& rng, RawSample* s) {
+          return produce(i, rng, s);
+        });
   }
 };
 
@@ -677,14 +690,14 @@ void* vox_raw_feeder_create(const char* const* rxwavs, const int32_t* labels,
   fd->entries.reserve((size_t)n);
   for (int64_t i = 0; i < n; ++i)
     fd->entries.push_back(RawFeeder::Entry{rxwavs[i], labels[i]});
-  fd->cap = (size_t)batch * accum * 2;
+  fd->core.cap = (size_t)batch * accum * 2;
   if (num_threads < 1) num_threads = 1;
   if ((size_t)num_threads > fd->entries.size())
     num_threads = (int32_t)fd->entries.size();
-  fd->n_workers = num_threads;
+  fd->core.n_workers = num_threads;
   for (int32_t w = 0; w < num_threads; ++w)
-    fd->workers.emplace_back(&RawFeeder::worker, fd, (size_t)w,
-                             (size_t)num_threads);
+    fd->core.workers.emplace_back(&RawFeeder::worker, fd, (size_t)w,
+                                  (size_t)num_threads);
   return fd;
 }
 
@@ -701,17 +714,8 @@ int vox_raw_feeder_next(void* handle, int16_t* waves_out,
   const size_t sz = (size_t)fd->max_samples;
   for (size_t k = 0; k < need; ++k) {
     RawSample s;
-    {
-      std::unique_lock<std::mutex> lk(fd->mu);
-      fd->cv_items.wait(lk, [&] {
-        return !fd->q.empty() || fd->stop.load() || fd->failed.load();
-      });
-      if (fd->q.empty())
-        return fd->failed.load() && !fd->stop.load() ? -2 : -1;
-      s = std::move(fd->q.front());
-      fd->q.pop_front();
-      fd->cv_space.notify_one();
-    }
+    const int rc = fd->core.pop(&s);
+    if (rc != 0) return rc;
     std::memcpy(waves_out + k * sz, s.wave.data(), sz * 2);
     num_samples_out[k] = s.num_samples;
     target_offset_out[k] = s.target_offset;
@@ -722,27 +726,21 @@ int vox_raw_feeder_next(void* handle, int16_t* waves_out,
 }
 
 int64_t vox_raw_feeder_errors(void* handle) {
-  return ((RawFeeder*)handle)->decode_errors.load();
+  return ((RawFeeder*)handle)->core.decode_errors.load();
 }
 
 int32_t vox_raw_feeder_dead_workers(void* handle) {
-  return ((RawFeeder*)handle)->dead_workers.load();
+  return ((RawFeeder*)handle)->core.dead_workers.load();
 }
 
 void vox_raw_feeder_stop(void* handle) {
-  RawFeeder* fd = (RawFeeder*)handle;
-  {
-    std::lock_guard<std::mutex> lk(fd->mu);
-    fd->stop.store(true);
-  }
-  fd->cv_space.notify_all();
-  fd->cv_items.notify_all();
+  ((RawFeeder*)handle)->core.request_stop();
 }
 
 void vox_raw_feeder_destroy(void* handle) {
   RawFeeder* fd = (RawFeeder*)handle;
-  vox_raw_feeder_stop(handle);
-  for (auto& t : fd->workers) t.join();
+  fd->core.request_stop();
+  fd->core.join_all();
   delete fd;
 }
 

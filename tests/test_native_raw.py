@@ -118,6 +118,27 @@ def test_negative_noise_start_is_rejected_safely(tmp_path):
     np.testing.assert_array_equal(got, want)  # both noises ignored
 
 
+def test_non_ascii_paths_in_specs(tmp_path):
+    """json.dumps defaults to ensure_ascii=True, so non-ASCII path bytes
+    arrive as \\uXXXX escapes; the C++ parser must decode them back to
+    UTF-8 or those utterances silently vanish as decode errors (round-3
+    review finding)."""
+    d = tmp_path / "música-話者"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    src = str(d / "ütt.wav")
+    audio.write_wav(src, (rng.randn(SR) * 2000).astype(np.float32))
+    noise = str(d / "そうおん.wav")
+    audio.write_wav(noise, (rng.randn(SR // 2) * 900).astype(np.float32))
+    spec = {"source": src, "rir": None,
+            "noises": [{"path": noise, "snr": 10, "start": 0,
+                        "extend": True}]}
+    # default dumps: every non-ASCII char escaped
+    rx = json.dumps(spec)
+    assert "\\u" in rx
+    assert_render_matches(rx)
+
+
 def test_malformed_spec_raises():
     with pytest.raises(IOError):
         native.render_spec('{"source": "missing.wav"')

@@ -34,17 +34,22 @@ def _build() -> bool:
         )
         return os.path.exists(_LIB_PATH)
     except Exception:
-        return False
+        return os.path.exists(_LIB_PATH)  # stale lib beats no lib
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native library; None if unavailable."""
+    """Load (building if needed) the native library; None if unavailable.
+
+    make always runs (mtime-based, a no-op when fresh): a prebuilt .so
+    older than the sources would otherwise silently present an old C ABI
+    -- e.g. a pre-cmvn vox_feeder_create ignoring the two cmvn pointer
+    args and training without global CMVN."""
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) and not _build():
+        if not _build():
             return None
         lib = ctypes.CDLL(_LIB_PATH)
         lib.vox_read_mat.restype = ctypes.c_int
@@ -169,7 +174,86 @@ def read_vec(path: str, offset: int = 0) -> np.ndarray:
     return _take(lib, out, (n.value,))
 
 
-class NativeBatchFeeder:
+class _NativeFeederBase:
+    """Shared Python lifecycle for the C feeder handles (both feeders use
+    the same feeder_core.h protocol): serialized next/destroy via
+    ``_io_lock``, stop-outside-the-lock close, iterator protocol, health
+    getters.  Subclasses set ``_prefix`` (the C symbol family) and
+    implement ``_alloc() -> (c_args, result)``."""
+
+    _prefix: str
+
+    def _init_handle(self, lib, handle):
+        assert handle, f"{self._prefix}_create failed"
+        self._lib = lib
+        self._handle = handle
+        # serializes in-flight get() against close(): destroy must never
+        # free the C++ object while another thread (e.g. the training
+        # loop's device_prefetch worker) is blocked inside _next
+        self._io_lock = threading.Lock()
+
+    def _fn(self, name):
+        return getattr(self._lib, f"{self._prefix}_{name}")
+
+    def start(self):
+        return self  # workers start in the C create call
+
+    def get(self, timeout=None):
+        c_args, result = self._alloc()
+        with self._io_lock:
+            if self._handle is None:
+                raise StopIteration
+            rc = self._fn("next")(self._handle, *c_args)
+            if rc == -2:  # every worker's shard is dead -- fail loudly
+                n = int(self._fn("errors")(self._handle))
+                raise IOError(
+                    f"native feeder: every shard failed to decode "
+                    f"({n} errors) -- {self._dead_hint}")
+        if rc != 0:
+            raise StopIteration
+        return result
+
+    def __iter__(self):
+        while True:
+            try:
+                yield self.get()
+            except StopIteration:
+                return
+
+    def decode_errors(self) -> int:
+        return int(self._fn("errors")(self._handle))
+
+    def dead_shards(self) -> int:
+        """Worker shards that produced zero samples over a full pass (one
+        corrupt shard = that fraction of the data silently gone).  The
+        training loop fails loudly on a non-zero value."""
+        if self._handle is None or not hasattr(
+                self._lib, f"{self._prefix}_dead_workers"):
+            return 0
+        return int(self._fn("dead_workers")(self._handle))
+
+    def stop(self):
+        if self._handle:
+            self._fn("stop")(self._handle)
+
+    def close(self):
+        if self._handle:
+            # stop OUTSIDE the lock: it unblocks any get() waiting inside
+            # the C next call, which then releases _io_lock for us
+            self._fn("stop")(self._handle)
+            with self._io_lock:
+                if self._handle:
+                    self._fn("destroy")(self._handle)
+                    self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeBatchFeeder(_NativeFeederBase):
     """Whole-hot-loop C++ feeder (native/vox_feeder.cc): ark decode, sliding
     CMN, crop/pad, batch assembly, and bf16 wire quantization all run in a
     native thread pool; each ``next()`` is ONE ctypes call (GIL released)
@@ -182,6 +266,9 @@ class NativeBatchFeeder:
     (ref tf_train_tdnn.py:151-164); here threads suffice because no Python
     runs per utterance.
     """
+
+    _prefix = "vox_feeder"
+    _dead_hint = "feat_dim mismatch or corrupt arks?"
 
     def __init__(
         self,
@@ -235,6 +322,12 @@ class NativeBatchFeeder:
             self._out_dtype = np.dtype(np.float32)
         c_mean = c_std = None
         if cmvn_pkl:
+            # ABI guard: a stale prebuilt .so without the cmvn args would
+            # silently ignore the trailing pointers (x86-64 calling
+            # convention) and train WITHOUT global CMVN.  dead_workers
+            # shipped in the same revision as the cmvn ABI.
+            assert hasattr(lib, "vox_feeder_dead_workers"), \
+                "native library predates the cmvn ABI; rebuild native/"
             # global CMVN pickle (ref tf_train_tdnn.py:91, tf_data.py:80-81):
             # (mean, std) applied after sliding CMN, like FeatureShardDataset
             import pickle
@@ -256,79 +349,20 @@ class NativeBatchFeeder:
             self._cmvn_arrays = (mean, std)  # keep alive past create
             as_fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
             c_mean, c_std = as_fp(mean), as_fp(std)
-        self._handle = lib.vox_feeder_create(
+        self._init_handle(lib, lib.vox_feeder_create(
             c_paths, c_offs, c_labels, n, feat_dim, feat_length,
             batch_size, num_accumulation_steps, num_threads, seed,
             cmn_window if sliding_cmn else 0, skip_percent,
-            1 if wire_bf16 else 0, c_mean, c_std)
-        assert self._handle, "vox_feeder_create failed"
-        # serializes in-flight get() against close(): destroy must never
-        # free the C++ object while another thread (e.g. the training
-        # loop's device_prefetch worker) is blocked inside vox_feeder_next
-        self._io_lock = threading.Lock()
+            1 if wire_bf16 else 0, c_mean, c_std))
 
-    def start(self) -> "NativeBatchFeeder":
-        return self  # workers start in the constructor
-
-    def get(self, timeout=None):
+    def _alloc(self):
         # fresh buffers per batch: the training loop's device prefetch may
         # still hold the previous batch
         feats = np.empty((self.a, self.b, self.t, self.f), self._out_dtype)
         labels = np.empty((self.a, self.b), np.int32)
-        with self._io_lock:
-            if self._handle is None:
-                raise StopIteration
-            rc = self._lib.vox_feeder_next(
-                self._handle, feats.ctypes.data_as(ctypes.c_void_p),
-                labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
-            if rc == -2:  # every shard failed to decode -- fail loudly
-                n = int(self._lib.vox_feeder_errors(self._handle))
-                raise IOError(
-                    f"native feeder: all scp shards failed to decode "
-                    f"({n} errors) -- feat_dim mismatch or corrupt arks?")
-        if rc != 0:
-            raise StopIteration
-        return feats, labels
-
-    def __iter__(self):
-        while True:
-            try:
-                yield self.get()
-            except StopIteration:
-                return
-
-    def decode_errors(self) -> int:
-        return int(self._lib.vox_feeder_errors(self._handle))
-
-    def dead_shards(self) -> int:
-        """Worker shards that produced zero samples over a full pass (one
-        corrupt ark = that fraction of the data silently gone).  The
-        training loop fails loudly on a non-zero value; total death already
-        raises from get() (rc -2)."""
-        if self._handle is None or not hasattr(self._lib,
-                                               "vox_feeder_dead_workers"):
-            return 0
-        return int(self._lib.vox_feeder_dead_workers(self._handle))
-
-    def stop(self):
-        if self._handle:
-            self._lib.vox_feeder_stop(self._handle)
-
-    def close(self):
-        if self._handle:
-            # stop OUTSIDE the lock: it unblocks any get() waiting inside
-            # vox_feeder_next, which then releases _io_lock for us
-            self._lib.vox_feeder_stop(self._handle)
-            with self._io_lock:
-                if self._handle:
-                    self._lib.vox_feeder_destroy(self._handle)
-                    self._handle = None
-
-    def __del__(self):
-        try:
-            self.close()
-        except Exception:
-            pass
+        return ((feats.ctypes.data_as(ctypes.c_void_p),
+                 labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))),
+                (feats, labels))
 
 
 def render_spec(rxwav: str) -> Tuple[np.ndarray, int]:
@@ -348,7 +382,7 @@ def render_spec(rxwav: str) -> Tuple[np.ndarray, int]:
     return _take(lib, out, (n.value,)), sr.value
 
 
-class NativeRawBatchFeeder:
+class NativeRawBatchFeeder(_NativeFeederBase):
     """Whole raw-audio host hot loop in C++ (native/vox_raw.cc): wav decode,
     online augmentation-spec rendering (FFT reverb + SNR mixing), int16
     crop with CMVN context, batch assembly -- one ctypes call per optimizer
@@ -356,6 +390,9 @@ class NativeRawBatchFeeder:
     sources (data/raw_dataset.py, the Python reference implementation);
     batches come out as the ((waves, num_samples, target_offset, pad_shift),
     labels) tuple ops/pipeline.py:waveform_to_features consumes."""
+
+    _prefix = "vox_raw_feeder"
+    _dead_hint = "bad wav paths or malformed specs?"
 
     def __init__(
         self,
@@ -389,21 +426,15 @@ class NativeRawBatchFeeder:
         n = len(entries)
         c_rx = (ctypes.c_char_p * n)(*rxwavs)
         c_labels = (ctypes.c_int32 * n)(*labels)
-        self._lib = lib
         self.a, self.b = num_accumulation_steps, batch_size
         self.max_samples = max_crop_samples(feat_length, context, cfg)
-        self._handle = lib.vox_raw_feeder_create(
+        self._init_handle(lib, lib.vox_raw_feeder_create(
             c_rx, c_labels, n, feat_length, context,
             cfg.frame_shift, cfg.frame_length,
             batch_size, num_accumulation_steps, num_threads, seed,
-            skip_percent)
-        assert self._handle, "vox_raw_feeder_create failed"
-        self._io_lock = threading.Lock()
+            skip_percent))
 
-    def start(self) -> "NativeRawBatchFeeder":
-        return self  # workers start in the constructor
-
-    def get(self, timeout=None):
+    def _alloc(self):
         a, b, s = self.a, self.b, self.max_samples
         waves = np.empty((a, b, s), np.int16)
         ns = np.empty((a, b), np.int32)
@@ -411,54 +442,9 @@ class NativeRawBatchFeeder:
         shift = np.empty((a, b), np.int32)
         labels = np.empty((a, b), np.int32)
         as_i32 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-        with self._io_lock:
-            if self._handle is None:
-                raise StopIteration
-            rc = self._lib.vox_raw_feeder_next(
-                self._handle, waves.ctypes.data_as(ctypes.c_void_p),
-                as_i32(ns), as_i32(off), as_i32(shift), as_i32(labels))
-            if rc == -2:
-                nerr = int(self._lib.vox_raw_feeder_errors(self._handle))
-                raise IOError(
-                    f"native raw feeder: every shard failed to decode "
-                    f"({nerr} errors) -- bad wav paths or malformed specs?")
-        if rc != 0:
-            raise StopIteration
-        return (waves, ns, off, shift), labels
-
-    def __iter__(self):
-        while True:
-            try:
-                yield self.get()
-            except StopIteration:
-                return
-
-    def decode_errors(self) -> int:
-        return int(self._lib.vox_raw_feeder_errors(self._handle))
-
-    def dead_shards(self) -> int:
-        if self._handle is None:
-            return 0
-        return int(self._lib.vox_raw_feeder_dead_workers(self._handle))
-
-    def stop(self):
-        if self._handle:
-            self._lib.vox_raw_feeder_stop(self._handle)
-
-    def close(self):
-        if self._handle:
-            # stop OUTSIDE the lock: unblocks any get() inside _next
-            self._lib.vox_raw_feeder_stop(self._handle)
-            with self._io_lock:
-                if self._handle:
-                    self._lib.vox_raw_feeder_destroy(self._handle)
-                    self._handle = None
-
-    def __del__(self):
-        try:
-            self.close()
-        except Exception:
-            pass
+        return ((waves.ctypes.data_as(ctypes.c_void_p),
+                 as_i32(ns), as_i32(off), as_i32(shift), as_i32(labels)),
+                ((waves, ns, off, shift), labels))
 
 
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
