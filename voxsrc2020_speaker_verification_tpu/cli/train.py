@@ -71,6 +71,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scale", type=float, default=None)
     p.add_argument("--feat-length", type=int, default=None)
     p.add_argument("--base-lr", type=float, default=None)
+    p.add_argument("--remat", action="store_true", default=None,
+                   help="per-block rematerialization (large models/batches "
+                        "that exceed HBM; see PERF.md for measured shapes)")
+    p.add_argument("--remat-stages", type=int, nargs="+", default=None,
+                   help="with --remat: apply only to these 0-based res2net "
+                        "stages (PERF.md: (0,1,2) is the best f600 shape)")
+    p.add_argument("--remat-policy", default=None,
+                   help="jax.checkpoint_policies name for selective remat")
     p.add_argument("--dataset", default=None,
                    help="data dir name override (also sets num_classes/"
                         "dataset_length from the dir when they differ)")
@@ -111,6 +119,10 @@ def main(argv=None) -> None:
             "dataset": args.dataset,
             "num_classes": args.num_classes,
             "dataset_length": args.dataset_length,
+            "remat": args.remat,
+            "remat_stages": (tuple(args.remat_stages)
+                             if args.remat_stages is not None else None),
+            "remat_policy": args.remat_policy,
         }.items() if v is not None
     }
     overrides.update(
