@@ -8,6 +8,7 @@ the jitted step, ops/pipeline.py) -- the "no feature store" path whose
 host and device legs PERF.md measures separately.
 
 Usage: python scripts/bench_raw_system.py [model] [batch] [accum] [num_utts]
+       [frames] [remat_stages e.g. 0,1,2]
 
 NB on the axon tunnel: raw int16 crops are ~160 KB/sample (5x a bf16
 feature crop), so the host->device link dominates here in a way a TPU-VM's
@@ -30,6 +31,9 @@ def main():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     accum = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     num_utts = int(sys.argv[4]) if len(sys.argv) > 4 else 400
+    frames = int(sys.argv[5]) if len(sys.argv) > 5 else 200
+    stages = (tuple(int(s) for s in sys.argv[6].split(","))
+              if len(sys.argv) > 6 else None)
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -50,17 +54,22 @@ def main():
 
     config = TrainConfig(
         model=model, projection="sc_cm_linear", num_classes=5994,
-        dataset_length=5_460_045, feat_dim=80, feat_length=200,
+        dataset_length=5_460_045, feat_dim=80, feat_length=frames,
         batch_size=batch, num_accumulation_steps=accum,
         bf16=True, bn_groups=8, raw_audio=True,
+        remat=stages is not None, remat_stages=stages,
     )
     fb = FbankConfig(num_bins=config.feat_dim, dither=config.dither)
     dev = jax.devices()[0]
     print(f"# {dev.platform} {getattr(dev, 'device_kind', '?')} "
-          f"model={model} shape={batch}x{accum} raw-audio", file=sys.stderr)
+          f"model={model} shape={batch}x{accum} f{frames} raw-audio "
+          f"remat_stages={stages}", file=sys.stderr)
 
     with tempfile.TemporaryDirectory() as root:
-        _, aug_dir, _, aug_utt2id = build_wav_corpus(root, num_utts)
+        # long crops (LMFT f600) want utterances that mostly cover them
+        seconds = (3.0, 8.0) if frames <= 300 else (7.0, 14.0)
+        _, aug_dir, _, aug_utt2id = build_wav_corpus(
+            root, num_utts, seconds=seconds)
         # remap labels into the class range
         ids = {u: v % config.num_classes for u, v in aug_utt2id.items()}
         threads = min(8, os.cpu_count() or 4)
