@@ -404,6 +404,19 @@ def test_training_loop_fails_on_dead_shard():
             checkpoint=False, log_fn=lambda s: None)
 
 
+def test_health_getters_safe_after_close(tmp_path):
+    """decode_errors()/dead_shards() after close() must return 0, not pass
+    a NULL handle into C (round-3 review finding: segfault)."""
+    scp, mats, utt2id = _make_corpus(tmp_path, [40])
+    feeder = native.NativeBatchFeeder(
+        scp, utt2id, FEAT_DIM, feat_length=20, batch_size=1,
+        num_accumulation_steps=1, num_threads=1, seed=0, skip_percent=0)
+    feeder.get()
+    feeder.close()
+    assert feeder.decode_errors() == 0
+    assert feeder.dead_shards() == 0
+
+
 def test_rejects_piped_rspec(tmp_path):
     scp = tmp_path / "pipes.scp"
     scp.write_text("utt0 cat foo.ark |\n")

@@ -119,7 +119,11 @@ def main(argv=None) -> None:
             "dataset": args.dataset,
             "num_classes": args.num_classes,
             "dataset_length": args.dataset_length,
-            "remat": args.remat,
+            # --remat-stages/--remat-policy imply --remat: the model only
+            # checkpoints when remat is set, so a bare --remat-stages would
+            # otherwise be a silent no-op
+            "remat": (args.remat or args.remat_stages is not None
+                      or args.remat_policy is not None) or None,
             "remat_stages": (tuple(args.remat_stages)
                              if args.remat_stages is not None else None),
             "remat_policy": args.remat_policy,

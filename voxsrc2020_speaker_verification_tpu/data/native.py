@@ -28,13 +28,30 @@ _tried = False
 
 def _build() -> bool:
     try:
-        subprocess.run(
-            ["make", "-C", _NATIVE_DIR, "-s"],
-            check=True, capture_output=True, timeout=120,
-        )
+        # serialize across processes: cli.launch starts N ranks that all
+        # reach get_lib() at once, and concurrent `make` runs would link
+        # the same .so non-atomically (one rank could dlopen a half-written
+        # file).  flock on a sidecar lets the first builder win and the
+        # rest see the finished library.
+        import fcntl
+
+        lock_path = os.path.join(_NATIVE_DIR, ".build.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR, "-s"],
+                check=True, capture_output=True, timeout=120,
+            )
         return os.path.exists(_LIB_PATH)
-    except Exception:
-        return os.path.exists(_LIB_PATH)  # stale lib beats no lib
+    except Exception as e:
+        if os.path.exists(_LIB_PATH):  # stale lib beats no lib -- but say so
+            import warnings
+
+            warnings.warn(
+                f"native build failed ({e!r}); loading the existing "
+                f"libvox_io.so, which may predate the current sources/ABI")
+            return True
+        return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -221,6 +238,8 @@ class _NativeFeederBase:
                 return
 
     def decode_errors(self) -> int:
+        if self._handle is None:  # after close(): no handle to query
+            return 0
         return int(self._fn("errors")(self._handle))
 
     def dead_shards(self) -> int:
