@@ -42,6 +42,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <deque>
+#include <locale.h>
 #include <mutex>
 #include <random>
 #include <memory>
@@ -167,7 +168,12 @@ struct JsonParser {
   double parse_number() {
     ws();
     char* q = nullptr;
-    double v = strtod(p, &q);
+    // strtod_l with a pinned C locale: plain strtod is LC_NUMERIC-sensitive,
+    // so under a comma-decimal locale "snr": 12.5 would stop at '.' and the
+    // whole spec (hence utterance) would be silently dropped as a decode
+    // error.  json.dumps always writes C-locale numbers.
+    static const locale_t c_loc = newlocale(LC_ALL_MASK, "C", (locale_t)0);
+    double v = strtod_l(p, &q, c_loc);
     if (q == p) ok = false;
     p = q;
     return v;
@@ -285,8 +291,26 @@ void make_twiddles(size_t count, size_t sz, double sign,
   }
 }
 
+// Twiddle-table cache: e^{sign*2*pi*i*k/sz}, k < sz/2, keyed by fft size.
+// Only a handful of pow-2 sizes ever occur (signal lengths round up to
+// powers of two), and recomputing the table inside every fft() call
+// roughly doubled the per-crop reverb cost.  thread_local: no locking, a
+// few entries x sz/2 cfloats per worker thread.
+const std::vector<cfloat>& twiddles(size_t sz, bool invert) {
+  thread_local std::unordered_map<size_t, std::vector<cfloat>> cache[2];
+  auto& m = cache[invert ? 1 : 0];
+  auto it = m.find(sz);
+  if (it == m.end()) {
+    std::vector<cfloat> tw;
+    make_twiddles(sz / 2, sz, invert ? 1.0 : -1.0, &tw);
+    it = m.emplace(sz, std::move(tw)).first;
+  }
+  return it->second;
+}
+
 // Iterative radix-2 complex FFT.  Twiddles tabulated per level (resynced
-// recurrence) so error does not accumulate across a w *= wlen chain.
+// recurrence, cached per size) so error does not accumulate across a
+// w *= wlen chain.
 void fft(cfloat* a, size_t n, bool invert) {
   for (size_t i = 1, j = 0; i < n; ++i) {
     size_t bit = n >> 1;
@@ -294,10 +318,9 @@ void fft(cfloat* a, size_t n, bool invert) {
     j ^= bit;
     if (i < j) std::swap(a[i], a[j]);
   }
-  std::vector<cfloat> tw;
   for (size_t len = 2; len <= n; len <<= 1) {
     const size_t half = len / 2;
-    make_twiddles(half, len, invert ? 1.0 : -1.0, &tw);
+    const std::vector<cfloat>& tw = twiddles(len, invert);
     for (size_t i = 0; i < n; i += len) {
       for (size_t k = 0; k < half; ++k) {
         const cfloat u = a[i + k];
@@ -316,7 +339,7 @@ void fft(cfloat* a, size_t n, bool invert) {
 // Real forward FFT of sz (pow-2) real points -> sz/2+1 complex bins, via
 // one sz/2-point complex FFT of packed even/odd samples.
 void rfft(const float* x, size_t n_valid, size_t sz, std::vector<cfloat>* out) {
-  const size_t half = sz / 2;
+  const size_t half = sz / 2;  // callers guarantee sz >= 2 (pow-2)
   std::vector<cfloat> z(half, cfloat(0.f, 0.f));
   for (size_t j = 0; j < (n_valid + 1) / 2; ++j) {
     const float re = x[2 * j];
@@ -324,8 +347,7 @@ void rfft(const float* x, size_t n_valid, size_t sz, std::vector<cfloat>* out) {
     z[j] = cfloat(re, im);
   }
   fft(z.data(), half, false);
-  std::vector<cfloat> tw;
-  make_twiddles(half, sz, -1.0, &tw);
+  const std::vector<cfloat>& tw = twiddles(sz, false);
   out->resize(half + 1);
   for (size_t k = 0; k < half; ++k) {
     const cfloat zk = z[k];
@@ -342,8 +364,7 @@ void rfft(const float* x, size_t n_valid, size_t sz, std::vector<cfloat>* out) {
 void irfft(const std::vector<cfloat>& spec, size_t sz, std::vector<float>* out) {
   const size_t half = sz / 2;
   std::vector<cfloat> z(half);
-  std::vector<cfloat> tw;
-  make_twiddles(half, sz, 1.0, &tw);
+  const std::vector<cfloat>& tw = twiddles(sz, true);
   for (size_t k = 0; k < half; ++k) {
     const cfloat yk = spec[k];
     const cfloat ynk = std::conj(spec[half - k]);
@@ -445,7 +466,10 @@ bool reverberate(std::vector<float>& sig, const std::string& rir_path) {
   const size_t m = (size_t)m64;
   if (m == 0) return true;
   const size_t full = n + m - 1;
-  size_t sz = 1;
+  // sz >= 2: the packed real-FFT (one sz/2-point complex FFT) needs at
+  // least one complex point -- a 1-sample source convolved with a 1-sample
+  // RIR (full == 1) would otherwise index an empty buffer.
+  size_t sz = 2;
   while (sz < full) sz <<= 1;
   std::shared_ptr<RirEntry> rir;
   if (!rir_spectrum(rir_path, sz, pre.data ? &pre : nullptr, &rir))

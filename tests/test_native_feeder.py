@@ -404,6 +404,40 @@ def test_training_loop_fails_on_dead_shard():
             checkpoint=False, log_fn=lambda s: None)
 
 
+def test_training_loop_fails_on_dead_shard_without_logging():
+    """The dead-shard check must fire even with logging disabled
+    (log_every=0) -- it used to live inside the logging block, so exactly
+    the unattended runs lost the protection (round-3 review finding)."""
+    import pytest as _pytest
+
+    from voxsrc2020_speaker_verification_tpu.training import TrainConfig
+    from voxsrc2020_speaker_verification_tpu.training.loop import fit
+
+    config = TrainConfig(
+        model="tdnn", projection="linear", num_classes=4,
+        dataset_length=1024, feat_dim=8, feat_length=16,
+        batch_size=2, num_accumulation_steps=1, total_epochs=2,
+        bf16=False, exp_root="")
+
+    class SickFeeder:
+        def __iter__(self):
+            rng = np.random.RandomState(0)
+            while True:
+                yield (rng.randn(1, 2, 16, 8).astype(np.float32),
+                       np.zeros((1, 2), np.int32))
+
+        def decode_errors(self):
+            return 7
+
+        def dead_shards(self):
+            return 1
+
+    # log_every=0 -> the check runs on its fallback 100-step cadence
+    with _pytest.raises(IOError, match="decoded nothing over a full pass"):
+        fit(config, SickFeeder(), log_every=0, max_steps=150,
+            checkpoint=False, log_fn=lambda s: None)
+
+
 def test_health_getters_safe_after_close(tmp_path):
     """decode_errors()/dead_shards() after close() must return 0, not pass
     a NULL handle into C (round-3 review finding: segfault)."""

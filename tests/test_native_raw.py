@@ -118,6 +118,19 @@ def test_negative_noise_start_is_rejected_safely(tmp_path):
     np.testing.assert_array_equal(got, want)  # both noises ignored
 
 
+def test_one_sample_source_and_rir(tmp_path):
+    """Degenerate 1-sample source convolved with a 1-sample RIR (full
+    convolution length == 1): the packed real-FFT must clamp its size to
+    >= 2 instead of indexing an empty half-size buffer (round-3 review
+    finding: heap overflow on truncated/corrupt wavs)."""
+    src = str(tmp_path / "one.wav")
+    rir = str(tmp_path / "rir1.wav")
+    audio.write_wav(src, np.asarray([1234.0], np.float32))
+    audio.write_wav(rir, np.asarray([2.5], np.float32))
+    spec = {"source": src, "rir": rir, "noises": []}
+    assert_render_matches(json.dumps(spec, separators=(",", ":")))
+
+
 def test_non_ascii_paths_in_specs(tmp_path):
     """json.dumps defaults to ensure_ascii=True, so non-ASCII path bytes
     arrive as \\uXXXX escapes; the C++ parser must decode them back to

@@ -222,9 +222,15 @@ def fit(
                     metrics_writer.write(
                         cur, m, audio_s_per_s=rate,
                         **({"decode_errors": errs} if errs else {}))
-                dead = (batches.dead_shards()
-                        if hasattr(batches, "dead_shards") else 0)
+            # Feeder dead-shard check on its OWN cadence: it must fire even
+            # with logging disabled (log_every=0), or a corrupt shard would
+            # silently shrink the training set exactly when nobody watches.
+            if (cur % (log_every or 100) == 0
+                    and hasattr(batches, "dead_shards")):
+                dead = batches.dead_shards()
                 if dead:
+                    errs = (batches.decode_errors()
+                            if hasattr(batches, "decode_errors") else 0)
                     raise IOError(
                         f"{dead} feeder shard(s) decoded nothing over a "
                         f"full pass ({errs} decode errors): part of the "
