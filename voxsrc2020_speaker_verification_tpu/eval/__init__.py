@@ -4,3 +4,4 @@ from .scoring import (  # noqa: F401
     read_trials, write_scores,
 )
 from .metrics import compute_eer_and_min_dcf, evaluate_trials  # noqa: F401
+from .serving import EmbeddingService  # noqa: F401

@@ -1,0 +1,298 @@
+"""Production embedding serving: dynamic batching over static-shape buckets.
+
+The reference has no online serving story -- deployment means re-running
+tf_extract.py over a frozen graph with batch-1 dynamic ``[None, None, F]``
+shapes (ref eval_inference_model.sh:27-40, tf_extract.py:45-113).  On TPU
+that is the worst case twice over: every new length would compile a fresh
+XLA program, and each batch-1 call underfills the MXU.
+
+This service keeps the offline extraction design -- static length buckets +
+masked pooling + reference-exact 1000-frame chunk averaging
+(eval/extract.py) -- and adds a request plane on top:
+
+* concurrent ``embed`` requests are chunked (tf_extract.py:96-111 rule),
+  routed to per-bucket queues, and flushed as full ``batch_size`` batches;
+* a flush also fires when the oldest queued chunk exceeds ``max_wait_ms``,
+  so a lone request still completes promptly (partial batches are padded to
+  the one compiled shape -- no new programs at runtime, ever);
+* all device work runs on one batcher thread; callers block on events.
+
+Front-end feature work (FBANK for wave requests, full-utterance sliding
+CMVN exactly as the extract CLI applies it) runs in the calling thread on
+the same jitted bucket-shaped kernels.
+
+Verification scoring mirrors eval/scoring.py: cosine on l2-normalized
+embeddings, with optional adaptive s-norm against the artifact's exported
+projection-weight cohort -- the classifier rows double as cohort speakers
+(ref snorm.py:83-131 + export_projection_weight.py), so a served model can
+asnorm without ever extracting a cohort.
+"""
+
+from __future__ import annotations
+
+import bisect
+import os
+import pickle
+import threading
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .extract import MAX_FRAMES, MIN_FRAMES, chunk_spans, default_batch_size
+from .scoring import l2norm
+
+_CMVN_BUCKETS = (500, 1000, 2000, 4000, 8000, 16000)
+_WAVE_BUCKET_SECONDS = (2, 4, 8, 16, 32, 64, 128)
+
+
+class _Request:
+    """One utterance embedding in flight: chunk accumulator + completion."""
+
+    __slots__ = ("acc", "weight", "remaining", "event", "error")
+
+    def __init__(self, num_chunks: int):
+        self.acc = 0.0
+        self.weight = 0.0
+        self.remaining = num_chunks
+        self.event = threading.Event()
+        self.error: Optional[BaseException] = None
+
+    def result(self, timeout: Optional[float] = None) -> np.ndarray:
+        if not self.event.wait(timeout):
+            raise TimeoutError("embedding request timed out")
+        if self.error is not None:
+            raise self.error
+        return (self.acc / self.weight).astype(np.float32)
+
+
+class EmbeddingService:
+    """Thread-safe embedding + verification service over an inference
+    artifact (eval/export.py).  See module docstring for the design."""
+
+    def __init__(
+        self,
+        artifact_dir: str,
+        *,
+        batch_size: Optional[int] = None,
+        buckets: Sequence[int] = (256, 512, 1000),
+        max_wait_ms: float = 10.0,
+        cmn_window: int = 300,
+    ):
+        from .export import load_inference_artifact
+        from .extract import make_bucketed_embed_fn
+
+        self.config, embed = load_inference_artifact(artifact_dir)
+        self.batch_size = batch_size or default_batch_size(self.config.model)
+        self._embed = make_bucketed_embed_fn(embed, batch_size=self.batch_size)
+        self.buckets = sorted(set(list(buckets) + [MAX_FRAMES]))
+        self.max_wait = max_wait_ms / 1000.0
+        self.cmn_window = cmn_window
+
+        cohort_pkl = os.path.join(artifact_dir, "projection_weight.pkl")
+        self._cohort: Optional[np.ndarray] = None
+        if os.path.exists(cohort_pkl):
+            with open(cohort_pkl, "rb") as f:
+                self._cohort = np.asarray(pickle.load(f), np.float32)
+
+        # bucket -> [(request, length, (length, F) chunk), ...]
+        self._pending: Dict[int, List[Tuple[_Request, int, np.ndarray]]] = {
+            b: [] for b in self.buckets
+        }
+        self._oldest: Dict[int, float] = {}
+        self._lock = threading.Lock()
+        self._cv = threading.Condition(self._lock)
+        self._stop = False
+        self.num_requests = 0
+        self.num_flushes = 0
+        self._jit_cache: Dict[tuple, object] = {}
+        self._thread = threading.Thread(
+            target=self._batcher, name="embed-batcher", daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    # request plane
+    # ------------------------------------------------------------------
+
+    def submit_features(self, feats: np.ndarray, cmvn: bool = True) -> _Request:
+        """Queue one utterance, (T, F) float32 features -> request handle.
+        ``cmvn`` applies full-utterance sliding CMVN first, exactly like the
+        extract CLI (ref tf_extract.py:63 normalizes the whole utterance
+        before the chunk loop)."""
+        feats = np.ascontiguousarray(feats, np.float32)
+        if feats.ndim != 2 or feats.shape[1] != self.config.feat_dim:
+            raise ValueError(
+                f"features must be (T, {self.config.feat_dim}); got {feats.shape}")
+        if cmvn:
+            feats = self._cmvn(feats)
+        spans = chunk_spans(len(feats), MAX_FRAMES, MIN_FRAMES)
+        req = _Request(len(spans))
+        with self._cv:
+            if self._stop:
+                raise RuntimeError("service is closed")
+            self.num_requests += 1
+            now = time.monotonic()
+            for start, length in spans:
+                b = self.buckets[
+                    bisect.bisect_left(self.buckets, min(length, MAX_FRAMES))]
+                q = self._pending[b]
+                if not q:
+                    self._oldest[b] = now
+                q.append((req, length, feats[start: start + length]))
+            self._cv.notify()
+        return req
+
+    def embed_features(self, feats: np.ndarray, cmvn: bool = True,
+                       timeout: Optional[float] = 60.0) -> np.ndarray:
+        return self.submit_features(feats, cmvn=cmvn).result(timeout)
+
+    def embed_wave(self, wave: np.ndarray, cmvn: bool = True,
+                   timeout: Optional[float] = 60.0) -> np.ndarray:
+        """Embed raw 16 kHz audio (int16 scale).  FBANK runs on device with
+        dither off (inference), then the feature path above."""
+        return self.submit_wave(wave, cmvn=cmvn).result(timeout)
+
+    def submit_wave(self, wave: np.ndarray, cmvn: bool = True) -> _Request:
+        return self.submit_features(self._fbank(wave), cmvn=cmvn)
+
+    # ------------------------------------------------------------------
+    # scoring plane
+    # ------------------------------------------------------------------
+
+    def score(self, emb_a: np.ndarray, emb_b: np.ndarray,
+              asnorm: bool = False, topk: int = 400) -> float:
+        """Verification score of two embeddings: cosine of l2-normed vectors
+        (ref snorm.py:113-120); ``asnorm`` z-norms each side against its
+        top-k scores vs the artifact's projection-weight cohort
+        (snorm.py:83-131 with cohort = exported classifier rows)."""
+        a = l2norm(np.asarray(emb_a, np.float64))
+        b = l2norm(np.asarray(emb_b, np.float64))
+        s = float(np.dot(a, b))
+        if not asnorm:
+            return s
+        if self._cohort is None:
+            raise ValueError("artifact has no projection_weight.pkl cohort")
+        k = min(topk, len(self._cohort))
+        stats = []
+        for v in (a, b):
+            scores = self._cohort @ v.astype(np.float32)
+            top = np.partition(scores, -k)[-k:].astype(np.float64)
+            stats.append((top.mean(), top.std()))
+        (m1, s1), (m2, s2) = stats
+        return float(0.5 * ((s - m1) / s1 + (s - m2) / s2))
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+
+    def _jit(self, key, build):
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = self._jit_cache[key] = build()
+        return fn
+
+    def _cmvn(self, feats: np.ndarray) -> np.ndarray:
+        """Full-utterance sliding CMVN, one compile per length bucket
+        (mirrors cli/extract.py:cmvn_full_stream at batch 1)."""
+        import jax
+
+        from ..ops.cmvn import sliding_cmvn
+
+        t = len(feats)
+        bucket = next((b for b in _CMVN_BUCKETS if t <= b), t)
+
+        def build():
+            import functools
+            return jax.jit(functools.partial(
+                sliding_cmvn, window=self.cmn_window, center=True))
+
+        fn = self._jit(("cmvn",), build)
+        f = np.zeros((1, bucket, feats.shape[1]), np.float32)
+        f[0, :t] = feats
+        out = np.asarray(fn(f, np.asarray([t], np.int32)))
+        return out[0, :t]
+
+    def _fbank(self, wave: np.ndarray) -> np.ndarray:
+        import jax
+
+        from ..ops.fbank import FbankConfig, fbank_i16, num_frames, pcm16
+
+        cfg = FbankConfig(num_bins=self.config.feat_dim, dither=0.0)
+        sr = cfg.sample_rate
+        n = len(wave)
+        bucket = next(
+            (s * sr for s in _WAVE_BUCKET_SECONDS if n <= s * sr), n)
+
+        fn = self._jit(("fbank",), lambda: jax.jit(
+            fbank_i16, static_argnames=("cfg",)))
+        w = np.zeros((1, bucket), np.int16)
+        w[0, :n] = pcm16(np.asarray(wave, np.float32)[:bucket])
+        feats = np.asarray(fn(w, cfg))
+        return feats[0, : num_frames(min(n, bucket), cfg)]
+
+    def _batcher(self):
+        while True:
+            with self._cv:
+                batch, bucket = None, None
+                while batch is None:
+                    now = time.monotonic()
+                    deadline = None
+                    for b in self.buckets:
+                        q = self._pending[b]
+                        if not q:
+                            continue
+                        age = now - self._oldest[b]
+                        if len(q) >= self.batch_size or age >= self.max_wait:
+                            batch = q[: self.batch_size]
+                            self._pending[b] = q[self.batch_size:]
+                            if self._pending[b]:
+                                self._oldest[b] = now
+                            bucket = b
+                            break
+                        expires = self.max_wait - age
+                        deadline = min(deadline or expires, expires)
+                    if batch is not None:
+                        break
+                    if self._stop:
+                        return
+                    self._cv.wait(timeout=deadline)
+            try:
+                self._flush(bucket, batch)
+            except BaseException as e:  # resolve waiters, keep serving
+                for req, _, _ in batch:
+                    req.error = e
+                    req.event.set()
+
+    def _flush(self, bucket: int, batch):
+        f = np.zeros((len(batch), bucket, self.config.feat_dim), np.float32)
+        m = np.zeros((len(batch), bucket), np.float32)
+        for i, (_, length, chunk) in enumerate(batch):
+            f[i, :length] = chunk
+            m[i, :length] = 1.0
+        emb = np.asarray(self._embed(f, m))
+        self.num_flushes += 1
+        for i, (req, length, _) in enumerate(batch):
+            # length-weighted chunk average (ref tf_extract.py:96-111);
+            # no lock needed: all chunks of a request resolve on this thread
+            req.acc = req.acc + emb[i] * length
+            req.weight += length
+            req.remaining -= 1
+            if req.remaining == 0:
+                req.event.set()
+
+    def close(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=30)
+        for q in self._pending.values():
+            for req, _, _ in q:
+                req.error = RuntimeError("service closed")
+                req.event.set()
+            q.clear()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
