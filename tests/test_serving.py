@@ -170,3 +170,98 @@ def test_tcp_errors_keep_connection_alive(server):
 def test_rejects_bad_feature_dim(service):
     with pytest.raises(ValueError, match="features must be"):
         service.embed_features(np.zeros((50, CFG.feat_dim + 3), np.float32))
+
+
+def test_rejects_inputs_beyond_serving_caps(service):
+    """Lengths past the largest front-end bucket are rejected, not compiled:
+    the no-recompile-at-runtime guarantee only holds for a FIXED bucket set
+    (round-3 review finding: unbounded per-length compiles)."""
+    from voxsrc2020_speaker_verification_tpu.eval import serving as S
+
+    too_long = S._CMVN_BUCKETS[-1] + 1
+    with pytest.raises(ValueError, match="exceeds the serving cap"):
+        service.embed_features(
+            np.zeros((too_long, CFG.feat_dim), np.float32))
+    with pytest.raises(ValueError, match="exceeds the serving cap"):
+        service.embed_wave(
+            np.zeros(16000 * (S._WAVE_BUCKET_SECONDS[-1] + 1), np.float32))
+
+
+def test_asnorm_topk_guards(service):
+    rng = np.random.RandomState(5)
+    a, b = rng.randn(256), rng.randn(256)
+    with pytest.raises(ValueError, match="topk >= 2"):
+        service.score(a, b, asnorm=True, topk=1)
+    with pytest.raises(ValueError, match="topk >= 2"):
+        service.score(a, b, asnorm=True, topk=0)
+
+
+def test_warmup_compiles_every_shape(artifact):
+    with EmbeddingService(artifact, batch_size=2, max_wait_ms=5.0) as svc:
+        svc.warmup(timeout=300)
+        # every embed bucket flushed at least once
+        assert svc.num_flushes >= len(svc.buckets)
+        emb = svc.embed_features(
+            np.random.RandomState(0).randn(300, CFG.feat_dim)
+            .astype(np.float32), timeout=300)
+        assert np.isfinite(emb).all()
+
+
+def test_timed_out_chunks_are_dropped(artifact):
+    """A request abandoned by its waiter must not burn device batches: its
+    queued chunks are dropped at the next flush selection (round-3 review
+    finding: orphaned chunks were still flushed)."""
+    import time as _time
+
+    with EmbeddingService(artifact, batch_size=4,
+                          max_wait_ms=60_000.0) as svc:
+        req = svc.submit_features(
+            np.zeros((200, CFG.feat_dim), np.float32), cmvn=False)
+        with pytest.raises(TimeoutError):
+            req.result(timeout=0.05)
+        flushes_before = svc.num_flushes
+        # a new submission wakes the batcher, which prunes cancelled chunks
+        live = svc.submit_features(
+            np.zeros((100, CFG.feat_dim), np.float32), cmvn=False)
+        deadline = _time.time() + 5
+        while _time.time() < deadline:
+            with svc._lock:
+                entries = [e for q in svc._pending.values() for e in q]
+            if all(not e[0].cancelled for e in entries):
+                break
+            _time.sleep(0.01)
+        with svc._lock:
+            entries = [e for q in svc._pending.values() for e in q]
+        assert all(not e[0].cancelled for e in entries)
+        # the cancelled request never produced a flush of its own
+        assert svc.num_flushes == flushes_before
+        assert live.remaining == 1  # still queued (max_wait is a minute)
+
+
+def test_tcp_fatal_protocol_error_closes_connection(server):
+    """An untrustworthy payload size cannot be drained, so the server must
+    reply with an error and CLOSE (replying and reading on would parse
+    payload bytes as the next header -- round-3 review finding)."""
+    host, port = server.server_address[:2]
+    c = ServingClient(host, port)
+    try:
+        with pytest.raises(RuntimeError, match="bad wave length"):
+            c._call({"op": "embed", "kind": "wave", "n": 1 << 40})
+        with pytest.raises((EOFError, RuntimeError, ConnectionError)):
+            c.ping()  # connection was closed after the fatal reply
+    finally:
+        c.close()
+
+
+def test_make_server_does_not_leak_service_on_bind_failure(artifact, server):
+    """Binding happens before the model loads: a port collision must not
+    leak a batcher thread (round-3 review finding)."""
+    import threading as _threading
+
+    from voxsrc2020_speaker_verification_tpu.cli.serve import make_server
+
+    host, port = server.server_address[:2]
+    before = _threading.active_count()
+    with pytest.raises(OSError):
+        make_server(artifact, host=host, port=port)  # already bound
+    assert _threading.active_count() == before

@@ -23,7 +23,10 @@ every request gets exactly one response):
     -> {"op": "ping"}\n
     <- {"ok": true, "model": ..., "feat_dim": ..., "batch_size": ...}\n
 
-    <- {"ok": false, "error": "..."}\n   on any failure (connection stays up)
+    <- {"ok": false, "error": "..."}\n   on any failure.  The connection
+       stays up EXCEPT when the declared payload size itself is invalid
+       (oversized n/t/f/d or unknown embed kind): the stream position is
+       then unknowable, so the server replies and closes.
 """
 
 from __future__ import annotations
@@ -39,6 +42,12 @@ import numpy as np
 
 _MAX_HEADER = 4096
 _MAX_PAYLOAD = 512 << 20  # 512 MB ~= 4.7 h of float32 80-d features
+
+
+class _FatalProtocolError(ValueError):
+    """Request whose payload size cannot be trusted: the stream position is
+    unknowable, so the only safe reply is error-then-close (reading on
+    would parse payload bytes as the next header)."""
 
 
 def _read_exact(rfile, n: int) -> bytes:
@@ -75,15 +84,22 @@ class _Handler(socketserver.StreamRequestHandler):
                 return
             if req is None:
                 return
+            fatal = False
             try:
                 resp, payload = self._dispatch(service, req)
             except (EOFError, BrokenPipeError, ConnectionResetError):
                 return
+            except _FatalProtocolError as e:  # report, then close
+                resp, payload, fatal = {"ok": False, "error": str(e)}, b"", True
             except Exception as e:  # report, keep the connection
+                # _dispatch consumed the payload before validating, so the
+                # stream is positioned at the next header
                 resp, payload = {"ok": False, "error": str(e)}, b""
             try:
                 _send(self.wfile, resp, payload)
             except (BrokenPipeError, ConnectionResetError):
+                return
+            if fatal:
                 return
 
     def _dispatch(self, service, req) -> Tuple[dict, bytes]:
@@ -95,30 +111,34 @@ class _Handler(socketserver.StreamRequestHandler):
                 "feat_dim": service.config.feat_dim,
                 "batch_size": service.batch_size,
             }, b""
+        # Every branch READS its declared payload before validating content:
+        # a reply without consuming the payload would leave those bytes to
+        # be parsed as the next request's header.  Only size/shape fields
+        # that make the payload length itself untrustworthy are fatal.
         if op == "embed":
             kind = req.get("kind", "feats")
             if kind == "wave":
                 n = int(req["n"])
                 if not 0 < n * 2 <= _MAX_PAYLOAD:
-                    raise ValueError(f"bad wave length {n}")
+                    raise _FatalProtocolError(f"bad wave length {n}")
                 wave = np.frombuffer(
                     _read_exact(self.rfile, n * 2), "<i2").astype(np.float32)
                 emb = service.embed_wave(wave, cmvn=req.get("cmvn", True))
             elif kind == "feats":
                 t, f = int(req["t"]), int(req["f"])
                 if not 0 < t * f * 4 <= _MAX_PAYLOAD:
-                    raise ValueError(f"bad feature shape ({t}, {f})")
+                    raise _FatalProtocolError(f"bad feature shape ({t}, {f})")
                 feats = np.frombuffer(
                     _read_exact(self.rfile, t * f * 4), "<f4").reshape(t, f)
                 emb = service.embed_features(feats, cmvn=req.get("cmvn", True))
             else:
-                raise ValueError(f"unknown embed kind {kind!r}")
+                raise _FatalProtocolError(f"unknown embed kind {kind!r}")
             payload = np.ascontiguousarray(emb, "<f4").tobytes()
             return {"ok": True, "d": len(emb)}, payload
         if op == "score":
             d = int(req["d"])
             if not 0 < d * 8 <= _MAX_PAYLOAD:
-                raise ValueError(f"bad embedding dim {d}")
+                raise _FatalProtocolError(f"bad embedding dim {d}")
             buf = np.frombuffer(_read_exact(self.rfile, d * 8), "<f4")
             s = service.score(buf[:d], buf[d:],
                               asnorm=bool(req.get("asnorm", False)),
@@ -134,19 +154,26 @@ class EmbeddingServer(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
-    def __init__(self, address, service):
+    def __init__(self, address):
         super().__init__(address, _Handler)
-        self.service = service
+        self.service = None  # attached by make_server after a clean bind
 
 
 def make_server(artifact: str, host: str = "127.0.0.1", port: int = 0,
                 **service_kwargs) -> EmbeddingServer:
     """Build (but do not run) a server; ``server.server_address`` carries the
-    bound (host, port) -- port 0 picks an ephemeral one."""
+    bound (host, port) -- port 0 picks an ephemeral one.  Binds BEFORE
+    loading the model: a bind failure (port in use) must not leak a live
+    batcher thread + device-resident variables."""
     from ..eval.serving import EmbeddingService
 
-    return EmbeddingServer((host, port), EmbeddingService(
-        artifact, **service_kwargs))
+    server = EmbeddingServer((host, port))
+    try:
+        server.service = EmbeddingService(artifact, **service_kwargs)
+    except BaseException:
+        server.server_close()
+        raise
+    return server
 
 
 class ServingClient:
@@ -222,6 +249,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-wait-ms", type=float, default=10.0,
                    help="max time a lone request waits for batch-mates")
     p.add_argument("--cmn-window", type=int, default=300)
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip compiling every bucket shape before announcing "
+                        "readiness (first requests then pay the compiles)")
     return p
 
 
@@ -232,6 +262,9 @@ def main(argv=None) -> None:
         batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
         cmn_window=args.cmn_window)
     host, port = server.server_address[:2]
+    if not args.no_warmup:
+        print("warming up (compiling bucket shapes)...", flush=True)
+        server.service.warmup()
     print(f"serving {args.artifact} on {host}:{port} "
           f"(model {server.service.config.model}, "
           f"batch {server.service.batch_size})", flush=True)

@@ -51,6 +51,26 @@ def chunk_spans(t: int, max_frames: int = MAX_FRAMES, min_frames: int = MIN_FRAM
     return spans
 
 
+def select_bucket(buckets: Sequence[int], length: int,
+                  max_frames: int = MAX_FRAMES) -> int:
+    """Smallest bucket holding a chunk of `length` frames (buckets sorted)."""
+    return buckets[bisect.bisect_left(buckets, min(length, max_frames))]
+
+
+def pack_chunk_batch(chunks, bucket: int, feat_dim: int):
+    """Zero-pad chunk rows into one (B, bucket, F) feats + (B, bucket) mask
+    pair.  `chunks` iterates (length, (length, F) feats); shared by offline
+    extraction and the serving batcher so the masked-padding parity rule
+    lives in exactly one place."""
+    chunks = list(chunks)
+    f = np.zeros((len(chunks), bucket, feat_dim), np.float32)
+    m = np.zeros((len(chunks), bucket), np.float32)
+    for i, (length, feats) in enumerate(chunks):
+        f[i, :length] = feats
+        m[i, :length] = 1.0
+    return f, m
+
+
 def extract_embeddings(
     embed_fn: Callable,
     features: Iterable[Tuple[str, np.ndarray]],
@@ -86,18 +106,16 @@ def extract_embeddings(
         batch = pending[bucket]
         if not batch:
             return
-        f = np.zeros((len(batch), bucket, batch[0][2].shape[1]), np.float32)
-        m = np.zeros((len(batch), bucket), np.float32)
-        for i, (_, length, feats) in enumerate(batch):
-            f[i, :length] = feats
-            m[i, :length] = 1.0
+        f, m = pack_chunk_batch(
+            ((length, feats) for _, length, feats in batch),
+            bucket, batch[0][2].shape[1])
         inflight.append((embed_fn(f, m), batch))
         pending[bucket] = []
         drain(1)
 
     for utt, feats in features:
         for start, length in chunk_spans(len(feats), max_frames, min_frames):
-            bucket = buckets[bisect.bisect_left(buckets, min(length, max_frames))]
+            bucket = select_bucket(buckets, length, max_frames)
             pending[bucket].append((utt, length, feats[start: start + length]))
             if len(pending[bucket]) >= batch_size:
                 flush(bucket)

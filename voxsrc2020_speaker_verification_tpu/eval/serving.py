@@ -30,7 +30,6 @@ asnorm without ever extracting a cohort.
 
 from __future__ import annotations
 
-import bisect
 import os
 import pickle
 import threading
@@ -39,17 +38,24 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .extract import MAX_FRAMES, MIN_FRAMES, chunk_spans, default_batch_size
+from .extract import (
+    MAX_FRAMES, MIN_FRAMES, chunk_spans, default_batch_size,
+    pack_chunk_batch, select_bucket,
+)
 from .scoring import l2norm
 
-_CMVN_BUCKETS = (500, 1000, 2000, 4000, 8000, 16000)
+# Front-end length buckets are a FIXED set (compiles are bounded by design);
+# requests past the caps are rejected with a clear error -- a client with
+# longer audio chunks it client-side.  Caps: ~10.9 min of features, 128 s
+# of raw audio per request.
+_CMVN_BUCKETS = (500, 1000, 2000, 4000, 8000, 16000, 32000, 65536)
 _WAVE_BUCKET_SECONDS = (2, 4, 8, 16, 32, 64, 128)
 
 
 class _Request:
     """One utterance embedding in flight: chunk accumulator + completion."""
 
-    __slots__ = ("acc", "weight", "remaining", "event", "error")
+    __slots__ = ("acc", "weight", "remaining", "event", "error", "cancelled")
 
     def __init__(self, num_chunks: int):
         self.acc = 0.0
@@ -57,9 +63,13 @@ class _Request:
         self.remaining = num_chunks
         self.event = threading.Event()
         self.error: Optional[BaseException] = None
+        self.cancelled = False
 
     def result(self, timeout: Optional[float] = None) -> np.ndarray:
         if not self.event.wait(timeout):
+            # orphaned chunks still queued are dropped at the next flush
+            # selection instead of burning device batches for no waiter
+            self.cancelled = True
             raise TimeoutError("embedding request timed out")
         if self.error is not None:
             raise self.error
@@ -78,6 +88,7 @@ class EmbeddingService:
         buckets: Sequence[int] = (256, 512, 1000),
         max_wait_ms: float = 10.0,
         cmn_window: int = 300,
+        request_timeout: float = 600.0,
     ):
         from .export import load_inference_artifact
         from .extract import make_bucketed_embed_fn
@@ -88,6 +99,9 @@ class EmbeddingService:
         self.buckets = sorted(set(list(buckets) + [MAX_FRAMES]))
         self.max_wait = max_wait_ms / 1000.0
         self.cmn_window = cmn_window
+        # default per-request deadline (covers first-hit XLA compiles of a
+        # bucket shape, which exceed a minute for the large models)
+        self.request_timeout = request_timeout
 
         cohort_pkl = os.path.join(artifact_dir, "projection_weight.pkl")
         self._cohort: Optional[np.ndarray] = None
@@ -95,17 +109,21 @@ class EmbeddingService:
             with open(cohort_pkl, "rb") as f:
                 self._cohort = np.asarray(pickle.load(f), np.float32)
 
-        # bucket -> [(request, length, (length, F) chunk), ...]
-        self._pending: Dict[int, List[Tuple[_Request, int, np.ndarray]]] = {
+        # bucket -> [(request, length, (length, F) chunk, enqueue time), ...]
+        # FIFO per bucket: entry 0 is always the oldest, so the batching
+        # deadline is measured from each chunk's true enqueue time (a
+        # leftover from a partial flush keeps its original age).
+        self._pending: Dict[
+            int, List[Tuple[_Request, int, np.ndarray, float]]] = {
             b: [] for b in self.buckets
         }
-        self._oldest: Dict[int, float] = {}
         self._lock = threading.Lock()
         self._cv = threading.Condition(self._lock)
         self._stop = False
         self.num_requests = 0
         self.num_flushes = 0
-        self._jit_cache: Dict[tuple, object] = {}
+        self._cmvn_fn = None   # lazily-built jitted kernels (front-end work
+        self._fbank_fn = None  # runs in caller threads; benign double-build)
         self._thread = threading.Thread(
             target=self._batcher, name="embed-batcher", daemon=True)
         self._thread.start()
@@ -133,27 +151,45 @@ class EmbeddingService:
             self.num_requests += 1
             now = time.monotonic()
             for start, length in spans:
-                b = self.buckets[
-                    bisect.bisect_left(self.buckets, min(length, MAX_FRAMES))]
-                q = self._pending[b]
-                if not q:
-                    self._oldest[b] = now
-                q.append((req, length, feats[start: start + length]))
+                b = select_bucket(self.buckets, length, MAX_FRAMES)
+                self._pending[b].append(
+                    (req, length, feats[start: start + length], now))
             self._cv.notify()
         return req
 
     def embed_features(self, feats: np.ndarray, cmvn: bool = True,
-                       timeout: Optional[float] = 60.0) -> np.ndarray:
-        return self.submit_features(feats, cmvn=cmvn).result(timeout)
+                       timeout: Optional[float] = None) -> np.ndarray:
+        return self.submit_features(feats, cmvn=cmvn).result(
+            self.request_timeout if timeout is None else timeout)
 
     def embed_wave(self, wave: np.ndarray, cmvn: bool = True,
-                   timeout: Optional[float] = 60.0) -> np.ndarray:
+                   timeout: Optional[float] = None) -> np.ndarray:
         """Embed raw 16 kHz audio (int16 scale).  FBANK runs on device with
         dither off (inference), then the feature path above."""
-        return self.submit_wave(wave, cmvn=cmvn).result(timeout)
+        return self.submit_wave(wave, cmvn=cmvn).result(
+            self.request_timeout if timeout is None else timeout)
 
     def submit_wave(self, wave: np.ndarray, cmvn: bool = True) -> _Request:
         return self.submit_features(self._fbank(wave), cmvn=cmvn)
+
+    def warmup(self, timeout: Optional[float] = None) -> None:
+        """Compile every serving shape up front: one embed per length
+        bucket (model forward at the padded batch -- partial batches pad to
+        this same shape, so it is the only one), every CMVN length bucket,
+        and every wave FBANK bucket.  Afterwards NO request within the
+        serving caps can trigger an XLA compile; without it the first
+        request per shape pays a compile that can exceed a minute for the
+        large models."""
+        reqs = [self.submit_features(
+                    np.zeros((b, self.config.feat_dim), np.float32),
+                    cmvn=False)
+                for b in self.buckets]
+        for r in reqs:
+            r.result(self.request_timeout if timeout is None else timeout)
+        for b in _CMVN_BUCKETS:
+            self._cmvn(np.zeros((b, self.config.feat_dim), np.float32))
+        for s in _WAVE_BUCKET_SECONDS:
+            self._fbank(np.zeros(s * 16000, np.float32))
 
     # ------------------------------------------------------------------
     # scoring plane
@@ -172,12 +208,22 @@ class EmbeddingService:
             return s
         if self._cohort is None:
             raise ValueError("artifact has no projection_weight.pkl cohort")
+        # k >= 2: a top-1 "distribution" has std 0 (division blows up), and
+        # topk <= 0 would silently slice the whole cohort via [-0:]
         k = min(topk, len(self._cohort))
+        if k < 2:
+            raise ValueError(
+                f"asnorm needs topk >= 2 within the cohort "
+                f"(topk={topk}, cohort={len(self._cohort)})")
         stats = []
         for v in (a, b):
             scores = self._cohort @ v.astype(np.float32)
             top = np.partition(scores, -k)[-k:].astype(np.float64)
-            stats.append((top.mean(), top.std()))
+            sd = top.std()
+            if sd == 0.0:
+                raise ValueError("degenerate cohort: top-k scores have "
+                                 "zero variance")
+            stats.append((top.mean(), sd))
         (m1, s1), (m2, s2) = stats
         return float(0.5 * ((s - m1) / s1 + (s - m2) / s2))
 
@@ -185,31 +231,28 @@ class EmbeddingService:
     # internals
     # ------------------------------------------------------------------
 
-    def _jit(self, key, build):
-        fn = self._jit_cache.get(key)
-        if fn is None:
-            fn = self._jit_cache[key] = build()
-        return fn
-
     def _cmvn(self, feats: np.ndarray) -> np.ndarray:
-        """Full-utterance sliding CMVN, one compile per length bucket
-        (mirrors cli/extract.py:cmvn_full_stream at batch 1)."""
+        """Full-utterance sliding CMVN, padded to a FIXED length-bucket set
+        (mirrors cli/extract.py:cmvn_full_stream at batch 1); jax.jit then
+        compiles once per bucket shape, so total compiles are bounded."""
+        import functools
+
         import jax
 
         from ..ops.cmvn import sliding_cmvn
 
         t = len(feats)
-        bucket = next((b for b in _CMVN_BUCKETS if t <= b), t)
-
-        def build():
-            import functools
-            return jax.jit(functools.partial(
+        bucket = next((b for b in _CMVN_BUCKETS if t <= b), None)
+        if bucket is None:
+            raise ValueError(
+                f"utterance of {t} frames exceeds the serving cap "
+                f"({_CMVN_BUCKETS[-1]} frames); chunk it client-side")
+        if self._cmvn_fn is None:
+            self._cmvn_fn = jax.jit(functools.partial(
                 sliding_cmvn, window=self.cmn_window, center=True))
-
-        fn = self._jit(("cmvn",), build)
         f = np.zeros((1, bucket, feats.shape[1]), np.float32)
         f[0, :t] = feats
-        out = np.asarray(fn(f, np.asarray([t], np.int32)))
+        out = np.asarray(self._cmvn_fn(f, np.asarray([t], np.int32)))
         return out[0, :t]
 
     def _fbank(self, wave: np.ndarray) -> np.ndarray:
@@ -221,14 +264,17 @@ class EmbeddingService:
         sr = cfg.sample_rate
         n = len(wave)
         bucket = next(
-            (s * sr for s in _WAVE_BUCKET_SECONDS if n <= s * sr), n)
-
-        fn = self._jit(("fbank",), lambda: jax.jit(
-            fbank_i16, static_argnames=("cfg",)))
+            (s * sr for s in _WAVE_BUCKET_SECONDS if n <= s * sr), None)
+        if bucket is None:
+            raise ValueError(
+                f"wave of {n} samples exceeds the serving cap "
+                f"({_WAVE_BUCKET_SECONDS[-1]} s); chunk it client-side")
+        if self._fbank_fn is None:
+            self._fbank_fn = jax.jit(fbank_i16, static_argnames=("cfg",))
         w = np.zeros((1, bucket), np.int16)
-        w[0, :n] = pcm16(np.asarray(wave, np.float32)[:bucket])
-        feats = np.asarray(fn(w, cfg))
-        return feats[0, : num_frames(min(n, bucket), cfg)]
+        w[0, :n] = pcm16(np.asarray(wave, np.float32))
+        feats = np.asarray(self._fbank_fn(w, cfg))
+        return feats[0, : num_frames(n, cfg)]
 
     def _batcher(self):
         while True:
@@ -239,14 +285,16 @@ class EmbeddingService:
                     deadline = None
                     for b in self.buckets:
                         q = self._pending[b]
+                        # timed-out requests' chunks are dropped here, not
+                        # flushed: no device batches for abandoned waiters
+                        if any(e[0].cancelled for e in q):
+                            q[:] = [e for e in q if not e[0].cancelled]
                         if not q:
                             continue
-                        age = now - self._oldest[b]
+                        age = now - q[0][3]  # FIFO: entry 0 is the oldest
                         if len(q) >= self.batch_size or age >= self.max_wait:
                             batch = q[: self.batch_size]
                             self._pending[b] = q[self.batch_size:]
-                            if self._pending[b]:
-                                self._oldest[b] = now
                             bucket = b
                             break
                         expires = self.max_wait - age
@@ -259,19 +307,19 @@ class EmbeddingService:
             try:
                 self._flush(bucket, batch)
             except BaseException as e:  # resolve waiters, keep serving
-                for req, _, _ in batch:
+                for req, _, _, _ in batch:
                     req.error = e
                     req.event.set()
 
     def _flush(self, bucket: int, batch):
-        f = np.zeros((len(batch), bucket, self.config.feat_dim), np.float32)
-        m = np.zeros((len(batch), bucket), np.float32)
-        for i, (_, length, chunk) in enumerate(batch):
-            f[i, :length] = chunk
-            m[i, :length] = 1.0
+        # pad-and-mask assembly shared with offline extraction
+        # (eval/extract.py:pack_chunk_batch -- one place owns the parity rule)
+        f, m = pack_chunk_batch(
+            ((length, chunk) for _, length, chunk, _ in batch),
+            bucket, self.config.feat_dim)
         emb = np.asarray(self._embed(f, m))
         self.num_flushes += 1
-        for i, (req, length, _) in enumerate(batch):
+        for i, (req, length, _, _) in enumerate(batch):
             # length-weighted chunk average (ref tf_extract.py:96-111);
             # no lock needed: all chunks of a request resolve on this thread
             req.acc = req.acc + emb[i] * length
@@ -286,7 +334,7 @@ class EmbeddingService:
             self._cv.notify_all()
         self._thread.join(timeout=30)
         for q in self._pending.values():
-            for req, _, _ in q:
+            for req, _, _, _ in q:
                 req.error = RuntimeError("service closed")
                 req.event.set()
             q.clear()
