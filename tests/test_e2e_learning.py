@@ -176,9 +176,17 @@ def test_sixteen_speakers_fit_extract_asnorm(tmp_path, tiny_res2net):
             [FeatureShardDataset(scp, utt2id, FEAT_DIM16,
                                  config.feat_length, seed=1)],
             config.batch_size).start()
+    # 1-device mesh: on small hosts (2 cores here) the 8-virtual-device
+    # all-reduce rendezvous can starve when the C++ feeder threads compete
+    # for the Eigen pool -- XLA's rendezvous.cc aborts the process after
+    # 40 s.  A CPU-backend artifact, not a TPU concern (collectives ride
+    # ICI there); multi-device fit numerics are covered by
+    # test_sharding_parity / dryrun_multichip, which run no native feeder.
+    from voxsrc2020_speaker_verification_tpu.parallel.sharding import make_mesh
+    mesh = make_mesh(num_data=1, num_model=1, devices=jax.devices()[:1])
     try:
         result = fit(config, feeder, max_steps=220, checkpoint=False,
-                     log_every=0, log_fn=lambda s: None)
+                     log_every=0, log_fn=lambda s: None, mesh=mesh)
     finally:
         feeder.stop() if not hasattr(feeder, "close") else feeder.close()
     state = result.state
