@@ -46,8 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--raw", action="store_true",
                    help="raw-audio mode: stream wav.scp (specs rendered "
                         "online), FBANK+CMVN on device -- no feature store")
-    p.add_argument("--num-workers", type=int, default=4,
-                   help="feeder threads (raw/feature modes)")
+    p.add_argument("--num-workers", type=int, default=None,
+                   help="feeder threads (raw/feature modes); default "
+                        "min(4, host cores) -- a fixed count would "
+                        "oversubscribe small hosts, starving the XLA "
+                        "dispatch threads the jitted step runs on")
     p.add_argument("--no-native-feeder", action="store_true",
                    help="force the Python feeder even when the C++ one "
                         "(native/vox_feeder.cc) is built")
@@ -95,6 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     p = build_parser()
     args = p.parse_args(argv)
+    if args.num_workers is None:
+        args.num_workers = max(1, min(4, os.cpu_count() or 4))
+    if args.num_workers < 1:
+        p.error("--num-workers must be >= 1")
     if args.cmvn_pkl and (args.raw or args.synthetic):
         p.error("--cmvn-pkl applies to the precomputed-feature path only "
                 "(the raw path normalizes on device, ops/pipeline.py)")
