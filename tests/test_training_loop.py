@@ -152,3 +152,18 @@ class TestTrainCLI:
             "--feat-length", "24",
         ])
         assert "done: 1 steps" in capsys.readouterr().out
+
+    def test_num_workers_default_adapts_to_cores(self):
+        from voxsrc2020_speaker_verification_tpu.cli.train import (
+            build_parser, resolve_num_workers,
+        )
+        # parser leaves the default unresolved (None) ...
+        args = build_parser().parse_args(
+            ["--recipe", "res2net_vox2_dev_aug", "--synthetic"])
+        assert args.num_workers is None
+        # ... main() resolves it to min(4, cores) with a floor of 1
+        assert resolve_num_workers(None, cores=1) == 1
+        assert resolve_num_workers(None, cores=2) == 2
+        assert resolve_num_workers(None, cores=64) == 4
+        # explicit values pass through untouched
+        assert resolve_num_workers(7, cores=2) == 7

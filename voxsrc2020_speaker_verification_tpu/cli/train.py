@@ -95,11 +95,20 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def resolve_num_workers(requested, cores=None):
+    """--num-workers default: min(4, host cores), floor 1.  A fixed 4 on a
+    2-core host oversubscribes the XLA dispatch threads the jitted step
+    runs on; explicit user values pass through untouched."""
+    if requested is not None:
+        return requested
+    cores = cores if cores is not None else (os.cpu_count() or 4)
+    return max(1, min(4, cores))
+
+
 def main(argv=None) -> None:
     p = build_parser()
     args = p.parse_args(argv)
-    if args.num_workers is None:
-        args.num_workers = max(1, min(4, os.cpu_count() or 4))
+    args.num_workers = resolve_num_workers(args.num_workers)
     if args.num_workers < 1:
         p.error("--num-workers must be >= 1")
     if args.cmvn_pkl and (args.raw or args.synthetic):
