@@ -134,6 +134,40 @@ def test_shard_scp(tmp_path):
                           f"{tmp_path}/4-split/feats.4.scp"]
 
 
+def test_split_scp_by_speaker():
+    """Speaker-coherent split (ref utils/split_scp.pl --utt2spk mode):
+    each speaker's utterances land in exactly one shard, shards stay
+    utterance-balanced, and fewer speakers than shards is an error."""
+    import pytest
+
+    rng = np.random.RandomState(7)
+    utt2spk, lines = {}, []
+    for s in range(9):
+        for u in range(int(rng.randint(1, 12))):
+            utt = f"spk{s}_utt{u}"
+            utt2spk[utt] = f"spk{s}"
+            lines.append(f"{utt} /x/{utt}.ark:0")
+    chunks = datadir.split_scp_lines_by_speaker(lines, 4, utt2spk)
+    assert sum(len(c) for c in chunks) == len(lines)
+    # coherence: no speaker spans two shards
+    shard_of = {}
+    for i, c in enumerate(chunks):
+        for line in c:
+            spk = utt2spk[line.split()[0]]
+            assert shard_of.setdefault(spk, i) == i
+    # balance: the perl's greedy loop guarantees no adjacent move improves;
+    # with ~5.5 utts/spk the spread stays within one max speaker size
+    sizes = [len(c) for c in chunks]
+    max_spk = max(
+        sum(1 for u in utt2spk.values() if u == f"spk{s}") for s in range(9))
+    assert max(sizes) - min(sizes) <= max_spk
+    with pytest.raises(ValueError):
+        datadir.split_scp_lines_by_speaker(lines, 10, utt2spk)
+    # shard_scp passthrough
+    assert len(datadir.split_scp_lines_by_speaker(lines, 1, utt2spk)[0]) \
+        == len(lines)
+
+
 def test_feature_shard_dataset_and_feeder(tmp_path):
     rng = np.random.RandomState(3)
     ark = str(tmp_path / "f.ark")

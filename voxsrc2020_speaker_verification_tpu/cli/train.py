@@ -98,16 +98,22 @@ def build_parser() -> argparse.ArgumentParser:
 def resolve_num_workers(requested, cores=None):
     """--num-workers default: min(4, host cores), floor 1.  A fixed 4 on a
     2-core host oversubscribes the XLA dispatch threads the jitted step
-    runs on; explicit user values pass through untouched."""
-    if requested is not None:
-        return requested
-    cores = cores if cores is not None else (os.cpu_count() or 4)
-    return max(1, min(4, cores))
+    runs on; explicit user values pass through untouched.  Re-exported from
+    utils for library callers (the native feeders default through it too)."""
+    from ..utils import resolve_num_workers as _resolve
+    return _resolve(requested, cores)
 
 
 def main(argv=None) -> None:
     p = build_parser()
     args = p.parse_args(argv)
+    if args.num_workers is None and args.num_processes > 1:
+        # multi-host: the raw Python fallback derives its GLOBAL sharding
+        # (num_shards = num_processes * workers) from this value, so a
+        # host-cores-dependent default would let heterogeneous hosts
+        # disagree on num_shards and double-read/skip utterances.  Pin the
+        # cross-host default; single-host keeps the core-adaptive one.
+        args.num_workers = 4
     args.num_workers = resolve_num_workers(args.num_workers)
     if args.num_workers < 1:
         p.error("--num-workers must be >= 1")

@@ -266,6 +266,10 @@ class _NativeFeederBase:
                     self._handle = None
 
     def __del__(self):
+        # swallow-everything is deliberate and scoped to finalization:
+        # __del__ runs during interpreter teardown where modules/ctypes may
+        # already be gone, and raising there aborts with an unraisable
+        # warning.  Explicit close()/stop() calls raise normally.
         try:
             self.close()
         except Exception:
@@ -297,7 +301,7 @@ class NativeBatchFeeder(_NativeFeederBase):
         feat_length: int,
         batch_size: int,
         num_accumulation_steps: int = 1,
-        num_threads: int = 4,
+        num_threads: Optional[int] = None,
         seed: int = 0,
         sliding_cmn: bool = True,
         cmn_window: int = 300,
@@ -368,6 +372,8 @@ class NativeBatchFeeder(_NativeFeederBase):
             self._cmvn_arrays = (mean, std)  # keep alive past create
             as_fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
             c_mean, c_std = as_fp(mean), as_fp(std)
+        from ..utils import resolve_num_workers
+        num_threads = resolve_num_workers(num_threads)
         self._init_handle(lib, lib.vox_feeder_create(
             c_paths, c_offs, c_labels, n, feat_dim, feat_length,
             batch_size, num_accumulation_steps, num_threads, seed,
@@ -423,7 +429,7 @@ class NativeRawBatchFeeder(_NativeFeederBase):
         *,
         cfg=None,
         context: int = 150,
-        num_threads: int = 4,
+        num_threads: Optional[int] = None,
         seed: int = 0,
         skip_percent: int = 10,
         shard_index: int = 0,
@@ -447,6 +453,8 @@ class NativeRawBatchFeeder(_NativeFeederBase):
         c_labels = (ctypes.c_int32 * n)(*labels)
         self.a, self.b = num_accumulation_steps, batch_size
         self.max_samples = max_crop_samples(feat_length, context, cfg)
+        from ..utils import resolve_num_workers
+        num_threads = resolve_num_workers(num_threads)
         self._init_handle(lib, lib.vox_raw_feeder_create(
             c_rx, c_labels, n, feat_length, context,
             cfg.frame_shift, cfg.frame_length,

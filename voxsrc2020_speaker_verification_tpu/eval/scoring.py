@@ -17,6 +17,7 @@ matmul + top_k on device -- replacing the reference's blocked numpy matmul
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, Iterable, List, Sequence, Tuple
 
 import numpy as np
@@ -119,7 +120,14 @@ def cohort_stats(
         try:
             import jax
             import jax.numpy as jnp
-
+        except ImportError as e:
+            # no-JAX install: the numpy path is the supported fallback
+            logging.getLogger(__name__).warning(
+                "cohort_stats: JAX unavailable (%s); using numpy", e)
+        else:
+            # NO blanket fallback past this point: a device/compile failure
+            # here would silently hand VoxCeleb-scale asnorm to numpy
+            # (slower, and masking genuine numeric drift) -- fail loudly.
             _stats = _device_topk_stats(topk)
             c = jnp.asarray(cohort_matrix, jnp.float32)
             n = len(trial_matrix)
@@ -135,8 +143,6 @@ def cohort_stats(
                 means.append(np.asarray(m[: len(rows)], np.float64))
                 stds.append(np.asarray(s[: len(rows)], np.float64))
             return np.concatenate(means), np.concatenate(stds)
-        except Exception:
-            pass
     means, stds = [], []
     for lo in range(0, len(trial_matrix), block_rows):
         scores = trial_matrix[lo: lo + block_rows] @ cohort_matrix.T

@@ -7,7 +7,7 @@ plus ECAPA-TDNN (framework extension, arXiv:2005.07143).
 
 from __future__ import annotations
 
-from .tdnn import Tdnn, tdnn
+from .tdnn import Tdnn, TDNN_VARIANTS, register_tdnn_variant, tdnn
 from .res2net import Res2Net, Res2NetConfig, RES2NET_CONFIGS, res2net
 from .dpn import Dpn, DpnConfig, DPN_CONFIGS, dpn
 from .ecapa import Ecapa, EcapaConfig, ECAPA_CONFIGS, ecapa
@@ -20,8 +20,8 @@ def get_model(name: str, dtype=None, remat: bool = False, remat_policy=None,
               remat_stages=None):
     """Build a model by recipe id. dtype is the compute dtype (bf16 for train);
     remat enables per-block rematerialization (res2net family)."""
-    if name == "tdnn":
-        return tdnn(dtype=dtype)
+    if name == "tdnn" or name in TDNN_VARIANTS:
+        return tdnn(name, dtype=dtype)
     if name in RES2NET_CONFIGS:
         return res2net(name, dtype=dtype, remat=remat,
                        remat_policy=remat_policy, remat_stages=remat_stages)

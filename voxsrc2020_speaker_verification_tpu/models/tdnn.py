@@ -98,6 +98,22 @@ class Tdnn(fnn.Module):
         )(x, training, mask)
 
 
-def tdnn(dtype=None) -> Tdnn:
-    """The recipe model `tdnn` (ref tdnn_model.py:158-161)."""
-    return Tdnn(dtype=dtype)
+# Non-recipe TDNN geometries (same block structure, different widths) --
+# the reference Model class is parameterized the same way (tdnn_model.py:
+# 112-124); used e.g. for the cross-stack system-equivalence run where both
+# stacks train a CPU-sized instance of the identical architecture.
+TDNN_VARIANTS = {}
+
+
+def register_tdnn_variant(name: str, **kwargs) -> str:
+    """Register `name` -> Tdnn(**kwargs) for get_model()/tf_import."""
+    TDNN_VARIANTS[name] = dict(kwargs)
+    return name
+
+
+def tdnn(name: str = "tdnn", dtype=None) -> Tdnn:
+    """The recipe model `tdnn` (ref tdnn_model.py:158-161) or a registered
+    variant."""
+    if name == "tdnn":
+        return Tdnn(dtype=dtype)
+    return Tdnn(dtype=dtype, **TDNN_VARIANTS[name])

@@ -91,16 +91,82 @@ def split_scp_lines(lines: Sequence[str], num_splits: int) -> List[List[str]]:
     return out
 
 
-def shard_scp(scp_path: str, num_splits: int, out_dir: Optional[str] = None) -> List[str]:
+def split_scp_lines_by_speaker(
+    lines: Sequence[str], num_splits: int, utt2spk: Dict[str, str]
+) -> List[List[str]]:
+    """Speaker-coherent split (ref utils/split_scp.pl --utt2spk mode): every
+    speaker's utterances land in ONE shard.  Mirrors the reference algorithm:
+    group lines per speaker in order of first appearance, seed shard
+    ``spk_idx * num_splits // num_spks``, then greedily move boundary
+    speakers between adjacent shards while that shrinks the absolute
+    utterance-count difference (the perl's provably-converging balance loop).
+    Raises if there are fewer speakers than shards (the perl dies too).
+    """
+    spk_order: List[str] = []
+    spk_lines: Dict[str, List[str]] = {}
+    for line in lines:
+        utt = line.split()[0]
+        spk = utt2spk.get(utt)
+        if spk is None:
+            raise KeyError(f"utterance {utt!r} missing from utt2spk")
+        if spk not in spk_lines:
+            spk_order.append(spk)
+            spk_lines[spk] = []
+        spk_lines[spk].append(line)
+    numspks = len(spk_order)
+    if numspks < num_splits:
+        raise ValueError(
+            f"refusing to split: {numspks} speakers < {num_splits} shards "
+            "(ref split_scp.pl would emit empty scps and exit nonzero)")
+    shard_spks: List[List[str]] = [[] for _ in range(num_splits)]
+    shard_count = [0] * num_splits
+    for spkidx, spk in enumerate(spk_order):
+        scpidx = spkidx * num_splits // numspks
+        shard_spks[scpidx].append(spk)
+        shard_count[scpidx] += len(spk_lines[spk])
+    changed = True
+    while changed:
+        changed = False
+        for i in range(num_splits):
+            if i < num_splits - 1 and shard_spks[i]:
+                spk = shard_spks[i][-1]
+                c = len(spk_lines[spk])
+                n1, n2 = shard_count[i], shard_count[i + 1]
+                if abs((n2 + c) - (n1 - c)) < abs(n2 - n1):
+                    shard_count[i + 1] += c
+                    shard_count[i] -= c
+                    shard_spks[i].pop()
+                    shard_spks[i + 1].insert(0, spk)
+                    changed = True
+            if i > 0 and shard_spks[i]:
+                spk = shard_spks[i][0]
+                c = len(spk_lines[spk])
+                n1, n2 = shard_count[i - 1], shard_count[i]
+                if abs((n2 - c) - (n1 + c)) < abs(n2 - n1):
+                    shard_count[i - 1] += c
+                    shard_count[i] -= c
+                    shard_spks[i].pop(0)
+                    shard_spks[i - 1].append(spk)
+                    changed = True
+    return [[ln for spk in spks for ln in spk_lines[spk]]
+            for spks in shard_spks]
+
+
+def shard_scp(scp_path: str, num_splits: int, out_dir: Optional[str] = None,
+              utt2spk: Optional[Dict[str, str]] = None) -> List[str]:
     """Shard an scp into `{N}-split/feats.{i}.scp` files (ref
-    prepare_data.sh:31-43 shard_scp)."""
+    prepare_data.sh:31-43 shard_scp).  With ``utt2spk``, shards are
+    speaker-coherent (ref split_scp.pl --utt2spk mode)."""
     base_dir = out_dir or os.path.dirname(os.path.abspath(scp_path))
     split_dir = os.path.join(base_dir, f"{num_splits}-split")
     os.makedirs(split_dir, exist_ok=True)
     with open(scp_path) as f:
         lines = [l for l in f.read().splitlines() if l.strip()]
+    chunks = (split_scp_lines_by_speaker(lines, num_splits, utt2spk)
+              if utt2spk is not None
+              else split_scp_lines(lines, num_splits))
     paths = []
-    for i, chunk in enumerate(split_scp_lines(lines, num_splits)):
+    for i, chunk in enumerate(chunks):
         p = os.path.join(split_dir, f"feats.{i + 1}.scp")
         with open(p, "w") as f:
             f.write("\n".join(chunk) + ("\n" if chunk else ""))

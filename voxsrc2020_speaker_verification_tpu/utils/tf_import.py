@@ -32,7 +32,7 @@ from typing import Any, Dict, Mapping, Optional, Tuple
 
 import numpy as np
 
-from ..models import DPN_CONFIGS, RES2NET_CONFIGS
+from ..models import DPN_CONFIGS, RES2NET_CONFIGS, TDNN_VARIANTS
 
 Path = Tuple[str, ...]
 VarMap = Dict[str, Tuple[str, Path]]  # tf name -> (collection, flax path)
@@ -161,6 +161,13 @@ def dpn_var_map(model_name: str) -> VarMap:
 def reference_var_map(model_name: str) -> VarMap:
     if model_name == "tdnn":
         return tdnn_var_map()
+    if model_name in TDNN_VARIANTS:
+        # variant widths come from the arrays; the map depends only on the
+        # block count and ordering (TF1 numbering is positional)
+        v = TDNN_VARIANTS[model_name]
+        return tdnn_var_map(
+            block_order=v.get("block_order", "conv_relu_bn"),
+            num_blocks=len(v.get("block_filters", (0,) * 5)))
     if model_name in RES2NET_CONFIGS:
         return res2net_var_map(model_name)
     if model_name in DPN_CONFIGS:
