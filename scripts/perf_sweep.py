@@ -1,18 +1,22 @@
 """Flagship-shape sweep on the real TPU: north-star res2net50_w24_s4_c32,
-the att-pool flagships, and the LMFT shape, across remat variants.
+the att-pool flagships, and the LMFT shapes, across remat variants.
 
-Usage: python scripts/perf_sweep.py [quick|full]
-Prints one line per config; OOMs are caught and reported.
+Usage:
+  python scripts/perf_sweep.py [quick|full|att600|att152]
+  python scripts/perf_sweep.py --one <model> <bs> <accum> <frames> \
+      <remat> <policy> <stages>        # single config (internal)
+
+Every config runs in ITS OWN subprocess: an HBM OOM at AOT-compile time or
+a TPU-runtime crash must not poison the following measurements (observed in
+round 2, PERF.md).  OOMs are caught and reported as FAILED lines.
 """
 
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import jax
-import jax.numpy as jnp
 
 CONFIGS = [
     # (model, bs, accum, frames, remat, remat_policy, remat_stages)
@@ -33,8 +37,34 @@ CONFIGS = [
     ("res2net200_w24_s4_c32_att", 64, 16, 200, False, None, None),
 ]
 
+# The f600 LMFT leg of the att flagships (README.md:278 headline model) +
+# the unmeasured res2net152: stage-selective remat candidates around each
+# model's best f200 shape, scaled by the ~3x activation footprint of f600.
+ATT600_CONFIGS = [
+    ("res2net101_w24_s4_c32_att", 64, 16, 600, False, None, None),
+    ("res2net101_w24_s4_c32_att", 64, 16, 600, True, None, (0, 1, 2)),
+    ("res2net101_w24_s4_c32_att", 64, 16, 600, True, None, None),
+    ("res2net101_w24_s4_c32_att", 32, 32, 600, False, None, None),
+    ("res2net101_w24_s4_c32_att", 32, 32, 600, True, None, (0, 1, 2)),
+    ("res2net200_w24_s4_c32_att", 32, 32, 600, False, None, None),
+    ("res2net200_w24_s4_c32_att", 32, 32, 600, True, None, (0, 1, 2)),
+    ("res2net200_w24_s4_c32_att", 32, 32, 600, True, None, None),
+    ("res2net200_w24_s4_c32_att", 16, 64, 600, False, None, None),
+]
 
-def measure(model, bs, accum, frames, remat, policy, stages, iters=8):
+ATT152_CONFIGS = [
+    ("res2net152_w24_s4_c32_att", 64, 16, 200, False, None, None),
+    ("res2net152_w24_s4_c32_att", 32, 32, 200, False, None, None),
+    ("res2net152_w24_s4_c32_att", 64, 16, 600, True, None, (0, 1, 2)),
+    ("res2net152_w24_s4_c32_att", 32, 32, 600, False, None, None),
+    ("res2net152_w24_s4_c32_att", 32, 32, 600, True, None, (0, 1, 2)),
+]
+
+
+def measure(model, bs, accum, frames, remat, policy, stages, iters=6):
+    import jax
+    import jax.numpy as jnp
+
     from voxsrc2020_speaker_verification_tpu.training import (
         TrainConfig, create_train_state, make_train_step,
     )
@@ -64,26 +94,56 @@ def measure(model, bs, accum, frames, remat, policy, stages, iters=8):
     return dt, bs * accum * frames / 100.0 / dt
 
 
-def main():
+def _tag(model, bs, accum, frames, remat, policy, stages):
+    return (f"{model} {bs}x{accum} f{frames} "
+            f"remat={remat} policy={policy} stages={stages}")
+
+
+def run_one(argv):
+    import jax
+
     cache = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    dev = jax.devices()[0]
-    print(f"# {dev.platform} {getattr(dev, 'device_kind', '?')}", flush=True)
 
-    for cfg in CONFIGS:
-        model, bs, accum, frames, remat, policy, stages = cfg
-        tag = (f"{model} {bs}x{accum} f{frames} "
-               f"remat={remat} policy={policy} stages={stages}")
+    model, bs, accum, frames = argv[0], int(argv[1]), int(argv[2]), int(argv[3])
+    remat = argv[4] == "True"
+    policy = None if argv[5] == "None" else argv[5]
+    stages = (None if argv[6] == "None"
+              else tuple(int(i) for i in argv[6].split(",") if i != ""))
+    tag = _tag(model, bs, accum, frames, remat, policy, stages)
+    try:
+        dt, rate = measure(model, bs, accum, frames, remat, policy, stages)
+        print(f"{tag}: {dt * 1e3:8.1f} ms/step  {rate:7.1f} audio-s/s",
+              flush=True)
+    except Exception as e:  # noqa: BLE001 -- OOM etc., report and exit 0
+        msg = str(e).split("\n")[0][:160]
+        print(f"{tag}: FAILED ({msg})", flush=True)
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        run_one(sys.argv[2:])
+        return
+
+    suite = sys.argv[1] if len(sys.argv) > 1 else "quick"
+    configs = {"att600": ATT600_CONFIGS, "att152": ATT152_CONFIGS}.get(
+        suite, CONFIGS)
+    for model, bs, accum, frames, remat, policy, stages in configs:
+        args = [sys.executable, os.path.abspath(__file__), "--one",
+                model, str(bs), str(accum), str(frames), str(remat),
+                str(policy),
+                "None" if stages is None else ",".join(map(str, stages))]
         try:
-            dt, rate = measure(*cfg)
-            print(f"{tag}: {dt * 1e3:8.1f} ms/step  {rate:7.1f} audio-s/s",
-                  flush=True)
-        except Exception as e:  # noqa: BLE001 -- OOM etc., keep sweeping
-            msg = str(e).split("\n")[0][:120]
-            print(f"{tag}: FAILED ({msg})", flush=True)
+            res = subprocess.run(args, timeout=3000)
+            if res.returncode != 0:
+                print(f"{_tag(model, bs, accum, frames, remat, policy, stages)}"
+                      f": SUBPROCESS DIED rc={res.returncode}", flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"{_tag(model, bs, accum, frames, remat, policy, stages)}"
+                  f": TIMEOUT", flush=True)
 
 
 if __name__ == "__main__":

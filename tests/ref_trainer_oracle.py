@@ -21,7 +21,14 @@ one trainer (run_*.sh all pass tf_train_tdnn.py as py_main): tdnn feeds
 (B, T, 1, F) [expansion_dim 2], res2net/dpn feed (B, T, F, 1)
 [expansion_dim 3] (ref tf_train_tdnn.py:189-195, run scripts arg 24).
 
-Usage: python ref_trainer_oracle.py <out.npz> [model_name]
+Usage: python ref_trainer_oracle.py <out.npz> [model_name] [num_steps]
+           [seed] [full|damped]
+
+num_steps / seed / LR mode extend the 10-step parity harness to the
+long-horizon statistical-equivalence runs (tests/test_trainer_envelope.py):
+~50 optimizer steps at the FULL recipe LR, across several init seeds, give
+the reference's own seed-to-seed trajectory envelope that the framework's
+trajectory must land inside.
 """
 
 import sys
@@ -54,8 +61,16 @@ DEFAULT_LR = 0.08 / 128 * BATCH * ACCUM / 10.0
 def main() -> None:
     out_path = sys.argv[1]
     model_name = sys.argv[2] if len(sys.argv) > 2 else "tdnn"
+    num_steps = int(sys.argv[3]) if len(sys.argv) > 3 else NUM_STEPS
+    seed = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    lr_mode = sys.argv[5] if len(sys.argv) > 5 else "default"
     T = MODEL_T.get(model_name, DEFAULT_T)
-    base_lr = MODEL_LR.get(model_name, DEFAULT_LR)
+    if lr_mode == "full":       # recipe LR (envelope runs)
+        base_lr = 0.08 / 128 * BATCH * ACCUM
+    elif lr_mode == "damped":   # LR/10 (deep-model noise calibration)
+        base_lr = 0.08 / 128 * BATCH * ACCUM / 10.0
+    else:
+        base_lr = MODEL_LR.get(model_name, DEFAULT_LR)
 
     sys.modules.setdefault("horovod", types.ModuleType("horovod"))
     sys.modules.setdefault(
@@ -149,7 +164,7 @@ def main() -> None:
     optimizer = tf.train.MomentumOptimizer(
         learning_rate=learning_rate, momentum=0.9)             # ref :203
 
-    tf.set_random_seed(0)
+    tf.set_random_seed(seed)  # init seed; the data stream stays fixed
     emb = model(inputs=X, training=True)                       # ref :210
     logits = tf_projection.sc_cm_linear(
         emb, Y, NUM_CLASSES, scale=SCALE, margin=margin,
@@ -213,7 +228,7 @@ def main() -> None:
     margin_total = margin + 0.5 * margin * margin
 
     rs = np.random.RandomState(11)
-    n_micro = NUM_STEPS * ACCUM
+    n_micro = num_steps * ACCUM
     feats = rs.randn(n_micro, BATCH, T, FEAT_DIM).astype(np.float32)
     labels = rs.randint(
         0, NUM_CLASSES, size=(n_micro, BATCH)).astype(np.int32)

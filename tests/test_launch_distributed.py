@@ -53,6 +53,43 @@ def test_two_process_launch(tmp_path):
     assert line0.split("loss")[1].split()[0] == line1.split("loss")[1].split()[0]
 
 
+def test_two_process_multidevice_model_sharded(tmp_path):
+    """jax.distributed process boundaries COMBINED with multi-device
+    model-axis sharding (round-3 review: they were only tested separately):
+    2 processes x 4 virtual CPU devices each = a global 8-device mesh, with
+    the classifier kernel sharded 2-way over the model axis
+    (--num-model-shards 2).  Collectives cross the process boundary; both
+    ranks must finish and agree on the global loss."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    proc = subprocess.run(
+        [
+            sys.executable, "-m",
+            "voxsrc2020_speaker_verification_tpu.cli.launch",
+            "--num-processes", "2",
+            "--coordinator", f"localhost:{_free_port()}",
+            "--",
+            "--recipe", "tdnn_voxsrc2020_vox2_dev", "--synthetic",
+            "--num-model-shards", "2",
+            "--max-steps", "2", "--log-every", "1", "--no-checkpoint",
+            "--batch-size", "8", "--num-accumulation-steps", "1",
+            "--feat-length", "24",
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "done: 2 steps" in proc.stdout
+    rank1 = (tmp_path / "launch_rank1.log").read_text()
+    assert "done: 2 steps" in rank1
+    line0 = [l for l in proc.stdout.splitlines() if l.startswith("step 2/2")][0]
+    line1 = [l for l in rank1.splitlines() if l.startswith("step 2/2")][0]
+    assert line0.split("loss")[1].split()[0] == line1.split("loss")[1].split()[0]
+
+
 def test_two_process_launch_raw(tmp_path):
     """Raw-audio mode across 2 processes: each rank feeds its strided
     wav.scp shard through the native raw feeder; the (waves, num_samples,
