@@ -13,6 +13,7 @@ metric check, SURVEY.md §4):
 """
 
 import dataclasses
+import os
 
 import jax
 import numpy as np
