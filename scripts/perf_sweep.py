@@ -53,11 +53,15 @@ ATT600_CONFIGS = [
 ]
 
 ATT152_CONFIGS = [
+    # round-4 sweep 1 findings: f600 "32x32 + remat" crashes the TPU worker
+    # reproducibly (101 and 200 alike); 64x16 remat(0,1,2) is the working
+    # 101 shape -- try the same family for 152, and 16x64 remat for 200.
     ("res2net152_w24_s4_c32_att", 64, 16, 200, False, None, None),
-    ("res2net152_w24_s4_c32_att", 32, 32, 200, False, None, None),
     ("res2net152_w24_s4_c32_att", 64, 16, 600, True, None, (0, 1, 2)),
-    ("res2net152_w24_s4_c32_att", 32, 32, 600, False, None, None),
-    ("res2net152_w24_s4_c32_att", 32, 32, 600, True, None, (0, 1, 2)),
+    ("res2net152_w24_s4_c32_att", 64, 16, 600, True, None, None),
+    ("res2net200_w24_s4_c32_att", 16, 64, 600, True, None, (0, 1, 2)),
+    ("res2net200_w24_s4_c32_att", 16, 64, 600, True, None, None),
+    ("res2net200_w24_s4_c32_att", 64, 16, 600, True, None, None),
 ]
 
 

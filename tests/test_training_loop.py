@@ -73,6 +73,35 @@ class TestRecipes:
         assert cfg.projection == "cm_linear_voxsrc2020"
         assert cfg.dataset_length == 148_642 * 5
 
+    def test_single_chip_shapes(self):
+        from voxsrc2020_speaker_verification_tpu.recipes import (
+            SINGLE_CHIP_SHAPES,
+        )
+        # effective batch stays 1024 in every measured shape
+        for (model, frames), shape in SINGLE_CHIP_SHAPES.items():
+            assert shape["batch_size"] * shape["num_accumulation_steps"] \
+                == 1024, (model, frames)
+        # --single-chip applies the table and keeps schedules/step counts
+        base, _ = get_recipe("res2net_vox2_dev_aug",
+                             model="res2net50_w24_s4_c32")
+        cfg, _ = get_recipe("res2net_vox2_dev_aug",
+                            model="res2net50_w24_s4_c32", single_chip=True)
+        assert (cfg.batch_size, cfg.num_accumulation_steps) == (128, 8)
+        assert cfg.total_steps == base.total_steps
+        assert cfg.learning_rate == base.learning_rate
+        # explicit overrides beat the table
+        cfg, _ = get_recipe("res2net_vox2_dev_aug",
+                            model="res2net50_w24_s4_c32", single_chip=True,
+                            batch_size=64)
+        assert cfg.batch_size == 64
+        # LMFT leg picks the f600 shape (stage-selective remat)
+        cfg, _ = get_recipe("res2net_finetune_vox2_dev",
+                            model="res2net50_w24_s4_c32", single_chip=True)
+        assert cfg.remat and cfg.remat_stages == (0, 1, 2)
+        # unknown model/frames: recipe default untouched
+        cfg, _ = get_recipe("ecapa_vox2_dev_aug", single_chip=True)
+        assert cfg.batch_size == 256
+
 
 class TestCheckpoint:
     def test_roundtrip_and_latest(self, tmp_path):

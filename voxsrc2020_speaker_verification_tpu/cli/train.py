@@ -82,6 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "stages (PERF.md: (0,1,2) is the best f600 shape)")
     p.add_argument("--remat-policy", default=None,
                    help="jax.checkpoint_policies name for selective remat")
+    p.add_argument("--single-chip", action="store_true",
+                   help="apply the measured-best single-v5e shape for the "
+                        "recipe model (batch/accum/remat from PERF.md "
+                        "sweeps; recipes default to the reference's "
+                        "global-batch shape for BN parity)")
     p.add_argument("--dataset", default=None,
                    help="data dir name override (also sets num_classes/"
                         "dataset_length from the dir when they differ)")
@@ -156,7 +161,8 @@ def main(argv=None) -> None:
         specaug=args.specaug, num_model_shards=args.num_model_shards,
         raw_audio=args.raw,
     )
-    config, resume_from = get_recipe(args.recipe, model=args.model, **overrides)
+    config, resume_from = get_recipe(args.recipe, model=args.model,
+                                     single_chip=args.single_chip, **overrides)
     if resume_from is not None:
         resume_from = os.path.join(args.exp_root, *resume_from.split("/")[1:]) \
             if resume_from.startswith("exp/") else resume_from

@@ -159,6 +159,57 @@ def dpn_voxsrc2020_vox2_dev_aug(model: str = "dpn68", **overrides):
                        VOX2_DEV_SPEAKERS, **overrides)
 
 
-def get_recipe(name: str, model: Optional[str] = None, **overrides):
+# Measured-best single-chip shapes (v5e, PERF.md round-2..4 sweeps), keyed
+# by (model, feat_length).  Recipes keep the reference's global-batch shape
+# (256-sample microbatches) for BN-statistics parity; on ONE chip these
+# overrides are 15-25% faster or are the only shapes that fit at all (the
+# att flagships' 256/128-sample microbatches exceed v5e HBM).  Effective
+# batch stays 1024 everywhere.
+SINGLE_CHIP_SHAPES = {
+    ("res2net50_w8_s6_c16", 200): dict(
+        batch_size=256, num_accumulation_steps=4, remat=False),
+    ("res2net50_w24_s4_c32", 200): dict(
+        batch_size=128, num_accumulation_steps=8, remat=False),
+    ("res2net50_w24_s4_c32", 600): dict(
+        batch_size=128, num_accumulation_steps=8, remat=True,
+        remat_stages=(0, 1, 2)),
+    ("res2net101_w24_s4_c32_att", 200): dict(
+        batch_size=64, num_accumulation_steps=16, remat=False),
+    ("res2net101_w24_s4_c32_att", 600): dict(
+        batch_size=64, num_accumulation_steps=16, remat=True,
+        remat_stages=(0, 1, 2)),
+    ("res2net152_w24_s4_c32_att", 200): dict(
+        batch_size=64, num_accumulation_steps=16, remat=False),
+    # NB: stage-selective (0,1,2) remat is pathological here (77 s/step vs
+    # 23.6 whole-block -- keeping stage 3 resident pushes HBM to the edge
+    # and the scheduler thrashes); whole-block is the measured shape.
+    ("res2net152_w24_s4_c32_att", 600): dict(
+        batch_size=64, num_accumulation_steps=16, remat=True),
+    ("res2net200_w24_s4_c32_att", 200): dict(
+        batch_size=32, num_accumulation_steps=32, remat=False),
+    ("res2net200_w24_s4_c32_att", 600): dict(
+        batch_size=64, num_accumulation_steps=16, remat=True),
+    ("dpn68", 200): dict(
+        batch_size=128, num_accumulation_steps=8, remat=False),
+    ("tdnn", 320): dict(
+        batch_size=1024, num_accumulation_steps=1, remat=False),
+}
+
+
+def single_chip_shape(model: str, feat_length: int) -> dict:
+    """Measured-best (batch, accum, remat) overrides for one v5e chip, or {}
+    if the recipe default is already the best known shape."""
+    return dict(SINGLE_CHIP_SHAPES.get((model, feat_length), {}))
+
+
+def get_recipe(name: str, model: Optional[str] = None, single_chip: bool = False,
+               **overrides):
     fn = RECIPES[name]
-    return fn(model, **overrides) if model else fn(**overrides)
+    config, resume = fn(model, **overrides) if model else fn(**overrides)
+    if single_chip:
+        shape = single_chip_shape(config.model, config.feat_length)
+        # explicit user overrides win over the shape table
+        shape = {k: v for k, v in shape.items() if k not in overrides}
+        if shape:
+            config = _apply(config, shape)
+    return config, resume
