@@ -77,10 +77,19 @@ class TestRecipes:
         from voxsrc2020_speaker_verification_tpu.recipes import (
             SINGLE_CHIP_SHAPES,
         )
-        # effective batch stays 1024 in every measured shape
+        # effective batch stays 1024 in every measured shape, and the BN
+        # group size preserves the reference's per-replica semantics:
+        # 32 samples on pretrain legs, 16 on f600 LMFT (ref bs 32/16 x 8);
+        # exceptions: the w8 model (single-GPU reference) and the TDNN
+        # (per-replica 128) keep their own reference group sizes
         for (model, frames), shape in SINGLE_CHIP_SHAPES.items():
             assert shape["batch_size"] * shape["num_accumulation_steps"] \
                 == 1024, (model, frames)
+            group = shape["batch_size"] // shape["bn_groups"]
+            want = {("res2net50_w8_s6_c16", 200): 32,
+                    ("tdnn", 320): 128}.get(
+                        (model, frames), 16 if frames == 600 else 32)
+            assert group == want, (model, frames, group)
         # --single-chip applies the table and keeps schedules/step counts
         base, _ = get_recipe("res2net_vox2_dev_aug",
                              model="res2net50_w24_s4_c32")

@@ -164,35 +164,41 @@ def dpn_voxsrc2020_vox2_dev_aug(model: str = "dpn68", **overrides):
 # (256-sample microbatches) for BN-statistics parity; on ONE chip these
 # overrides are 15-25% faster or are the only shapes that fit at all (the
 # att flagships' 256/128-sample microbatches exceed v5e HBM).  Effective
-# batch stays 1024 everywhere.
+# batch stays 1024 everywhere, and bn_groups is set so the BN-statistics
+# group size keeps the reference's per-replica semantics (32 samples on
+# the f200/f320 pretrain legs, 16 on the f600 LMFT legs -- ref bs 32 or
+# 16 per GPU x 8) even though the microbatch changed.
 SINGLE_CHIP_SHAPES = {
     ("res2net50_w8_s6_c16", 200): dict(
-        batch_size=256, num_accumulation_steps=4, remat=False),
+        batch_size=256, num_accumulation_steps=4, remat=False, bn_groups=8),
     ("res2net50_w24_s4_c32", 200): dict(
-        batch_size=128, num_accumulation_steps=8, remat=False),
+        batch_size=128, num_accumulation_steps=8, remat=False, bn_groups=4),
     ("res2net50_w24_s4_c32", 600): dict(
         batch_size=128, num_accumulation_steps=8, remat=True,
-        remat_stages=(0, 1, 2)),
+        remat_stages=(0, 1, 2), bn_groups=8),
     ("res2net101_w24_s4_c32_att", 200): dict(
-        batch_size=64, num_accumulation_steps=16, remat=False),
+        batch_size=64, num_accumulation_steps=16, remat=False, bn_groups=2),
     ("res2net101_w24_s4_c32_att", 600): dict(
         batch_size=64, num_accumulation_steps=16, remat=True,
-        remat_stages=(0, 1, 2)),
+        remat_stages=(0, 1, 2), bn_groups=4),
     ("res2net152_w24_s4_c32_att", 200): dict(
-        batch_size=64, num_accumulation_steps=16, remat=False),
+        batch_size=64, num_accumulation_steps=16, remat=False, bn_groups=2),
     # NB: stage-selective (0,1,2) remat is pathological here (77 s/step vs
     # 23.6 whole-block -- keeping stage 3 resident pushes HBM to the edge
     # and the scheduler thrashes); whole-block is the measured shape.
     ("res2net152_w24_s4_c32_att", 600): dict(
-        batch_size=64, num_accumulation_steps=16, remat=True),
+        batch_size=64, num_accumulation_steps=16, remat=True, bn_groups=4),
     ("res2net200_w24_s4_c32_att", 200): dict(
-        batch_size=32, num_accumulation_steps=32, remat=False),
+        batch_size=32, num_accumulation_steps=32, remat=False, bn_groups=1),
+    # 64x16 OOMs even whole-block; "32x32 + remat" crashes the TPU worker
+    # (reproducible, round-2 and round-4); 16x64 is the shape that works.
     ("res2net200_w24_s4_c32_att", 600): dict(
-        batch_size=64, num_accumulation_steps=16, remat=True),
+        batch_size=16, num_accumulation_steps=64, remat=True,
+        remat_stages=(0, 1, 2), bn_groups=1),
     ("dpn68", 200): dict(
-        batch_size=128, num_accumulation_steps=8, remat=False),
+        batch_size=128, num_accumulation_steps=8, remat=False, bn_groups=4),
     ("tdnn", 320): dict(
-        batch_size=1024, num_accumulation_steps=1, remat=False),
+        batch_size=1024, num_accumulation_steps=1, remat=False, bn_groups=8),
 }
 
 
