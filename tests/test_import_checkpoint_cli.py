@@ -72,6 +72,14 @@ def test_cli_roundtrip(snapshot_and_state):
         "--num-classes", "11", "--exp-dir", exp,
     ])
 
+    # the dir is self-describing: config.json for cli.export/evaluate
+    import json
+    import os
+    with open(os.path.join(exp, "config.json")) as f:
+        written = json.load(f)
+    assert written["model"] == MODEL
+    assert written["num_classes"] == 11
+
     target = create_train_state(cfg, jax.random.PRNGKey(0))
     mgr = CheckpointManager(exp)
     assert mgr.latest_step() == STEP  # from the checkpoint's global_step

@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="global step to record; default: the checkpoint's "
                         "global_step variable (the LMFT resume trick keys "
                         "schedules off this -- ref tf_scheduler.py:72-73)")
+    p.add_argument("--recipe", default=None,
+                   help="recipe to derive <exp-dir>/config.json from (so "
+                        "cli.export/evaluate need no extra flags); without "
+                        "it a config with the given model/projection/"
+                        "num-classes and framework defaults is written")
+    p.add_argument("--feat-dim", type=int, default=80)
     return p
 
 
@@ -110,6 +116,25 @@ def main(argv=None) -> None:
     mgr = CheckpointManager(args.exp_dir)
     mgr.save(state, step=step)
     mgr.close()
+
+    # config.json makes the dir self-describing for cli.export / evaluate /
+    # serve (they read it instead of re-asking for model/projection flags).
+    import dataclasses
+    import os
+
+    if args.recipe:
+        from ..recipes import get_recipe
+        config, _ = get_recipe(args.recipe, model=args.model)
+        config = dataclasses.replace(
+            config, projection=args.projection, num_classes=args.num_classes,
+            num_centers=args.num_centers)
+    else:
+        from ..training.config import TrainConfig
+        config = TrainConfig(
+            model=args.model, projection=args.projection,
+            num_classes=args.num_classes, num_centers=args.num_centers,
+            feat_dim=args.feat_dim)
+    config.to_json(os.path.join(args.exp_dir, "config.json"))
     print(f"imported {args.model} ({n_params / 1e6:.1f}M params, "
           f"{'with' if slots else 'zero'} momentum) at step {step} "
           f"-> {args.exp_dir}")
