@@ -109,7 +109,10 @@ def main():
     pre_cfg = TrainConfig(batch_size=64, num_accumulation_steps=1,
                           feat_length=200, margin=0.2, total_epochs=23,
                           **base)
-    lmft_cfg = TrainConfig(batch_size=32, num_accumulation_steps=2,
+    # NB: a 32-sample microbatch at f600 reproducibly CRASHES the v5e
+    # worker (same shape class as the 32x32-remat sweep crashes, PERF.md);
+    # 64x1 keeps the effective batch and avoids the faulting shape.
+    lmft_cfg = TrainConfig(batch_size=64, num_accumulation_steps=1,
                            feat_length=600, margin=0.4, total_epochs=24,
                            **base)
 
