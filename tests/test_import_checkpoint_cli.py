@@ -105,6 +105,42 @@ def test_cli_roundtrip(snapshot_and_state):
                                       err_msg=jax.tree_util.keystr(pa))
 
 
+def test_migrated_dir_exports_and_extracts(snapshot_and_state, tmp_path):
+    """The migration story end to end: imported dir -> cli.export artifact
+    -> embeddings from the artifact equal embeddings from the live state
+    (what a user does with a released reference checkpoint)."""
+    import os
+
+    from voxsrc2020_speaker_verification_tpu.cli import export as export_cli
+    from voxsrc2020_speaker_verification_tpu.eval.export import (
+        load_inference_artifact,
+    )
+    from voxsrc2020_speaker_verification_tpu.training import make_embed_fn
+
+    cfg, state, _momentum, npz, _d = snapshot_and_state
+    exp = str(tmp_path / "exp")
+    import_checkpoint.main([
+        "--npz", npz, "--model", MODEL, "--projection", "sc_cm_linear",
+        "--num-classes", "11", "--exp-dir", exp, "--feat-dim", "40",
+    ])
+    export_cli.main(["--exp-dir", exp])
+    art = os.path.join(exp, "artifact")
+    assert os.path.isdir(art)
+
+    _art_cfg, embed_fn = load_inference_artifact(art)
+    feats = np.random.RandomState(5).randn(2, 64, 40).astype(np.float32)
+    got = np.asarray(embed_fn(feats, None))
+    ref_embed = jax.jit(make_embed_fn(cfg))
+    want = np.asarray(ref_embed(state.params, state.batch_stats,
+                                jnp.asarray(feats), None))
+    # the artifact infers in bf16 (its config default); the live reference
+    # state here is fp32 -- agreement at bf16 rounding + cosine identity
+    np.testing.assert_allclose(got, want, rtol=0.06, atol=0.06)
+    for g, w in zip(got, want):
+        cos = float(g @ w / (np.linalg.norm(g) * np.linalg.norm(w)))
+        assert cos > 0.9995, cos
+
+
 def test_cli_without_momentum_defaults_to_zero(snapshot_and_state, tmp_path):
     cfg, state, _momentum, npz, _d = snapshot_and_state
     data = np.load(npz)
