@@ -17,6 +17,12 @@ import sys
 import time
 
 BASELINE_AUDIO_S_PER_S = 122_636 * 1024 * 2.0 / (52 * 3600)  # = 1341.5
+# The LMFT leg is the reference's second published single-GPU wall-clock:
+# 5 h for the remaining 127,968 - 122,636 = 5,332 steps x 1024 x 6 s
+# (reference README.md:45,131,164).
+LMFT_STEPS = 127_968 - 122_636
+LMFT_BASELINE_AUDIO_S_PER_S = LMFT_STEPS * 1024 * 6.0 / (5 * 3600)  # = 1820.1
+PRETRAIN_HOURS_REF, LMFT_HOURS_REF = 52.0, 5.0
 
 
 def main():
@@ -190,6 +196,37 @@ def main():
         native_audio_s_per_s = (iters / nat_dt * config.effective_batch
                                 * (config.feat_length / 100.0))
 
+    # LMFT leg of the same model: f600 crops at the measured-best v5e shape
+    # (256 x 4, stage-(0,1,2) remat -- f600 no-remat exceeds HBM at any
+    # microbatch, PERF.md).  Together with the pretrain leg this prices the
+    # reference's complete 52 + 5 h w8 recipe on one chip.
+    lmft_audio_s_per_s = None
+    if n_chips == 1:
+        import dataclasses
+        lm_config = dataclasses.replace(
+            config, feat_length=600, batch_size=256,
+            num_accumulation_steps=4, remat=True, remat_stages=(0, 1, 2),
+            bn_groups=16)
+        lm_state = create_train_state(lm_config, jax.random.PRNGKey(0))
+        lm_step = jax.jit(make_train_step(lm_config), donate_argnums=0)
+        lm_feats = jax.random.normal(
+            jax.random.PRNGKey(1), (4, 256, 600, config.feat_dim),
+            jnp.float32)
+        lm_labels = jax.random.randint(
+            jax.random.PRNGKey(2), (4, 256), 0, config.num_classes)
+        for _ in range(2):
+            lm_state, lm_metrics = lm_step(lm_state, lm_feats, lm_labels, rng)
+        _ = float(lm_metrics["loss"])
+        lm_iters = 5
+        t0 = time.perf_counter()
+        for _ in range(lm_iters):
+            lm_state, lm_metrics = lm_step(lm_state, lm_feats, lm_labels, rng)
+        _ = float(lm_metrics["loss"])
+        lm_dt = time.perf_counter() - t0
+        lmft_audio_s_per_s = (lm_iters / lm_dt * lm_config.effective_batch
+                              * (lm_config.feat_length / 100.0))
+        del lm_state, lm_feats, lm_labels
+
     # North-star config (BASELINE.md: res2net50_w24_s4_c32, the model the
     # project is judged on) at its best measured single-chip shape, 128 x 8
     # without remat (PERF.md round-2 sweep: 18% faster than any 256 x 4
@@ -238,6 +275,20 @@ def main():
                                "(best measured v5e shape, PERF.md); no "
                                "published single-GPU reference wall-clock"}
            if north_star is not None else {}),
+        **(lambda lm: ({
+            "lmft_metric": "train_throughput_res2net50_w8_s6_c16_f600",
+            "lmft_value": round(lm, 1),
+            "lmft_vs_baseline": round(lm / LMFT_BASELINE_AUDIO_S_PER_S, 3),
+            "lmft_note": "f600 LMFT leg, 256x4 remat(0,1,2) (reference: "
+                         "5 h on the 4090 = 1820 audio-s/s)",
+            # complete w8 recipe (pretrain + LMFT) wall-clock vs 52 + 5 h
+            "recipe_speedup": round(
+                (PRETRAIN_HOURS_REF + LMFT_HOURS_REF) / (
+                    PRETRAIN_HOURS_REF
+                    * (BASELINE_AUDIO_S_PER_S / audio_s_per_s)
+                    + LMFT_HOURS_REF
+                    * (LMFT_BASELINE_AUDIO_S_PER_S / lm)), 3),
+        } if lm is not None else {}))(lmft_audio_s_per_s),
     }))
 
 

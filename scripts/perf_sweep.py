@@ -52,6 +52,19 @@ ATT600_CONFIGS = [
     ("res2net200_w24_s4_c32_att", 16, 64, 600, False, None, None),
 ]
 
+W8_F600_CONFIGS = [
+    # the w8 model's f600 LMFT leg (ref trains it in 5 h on the 4090,
+    # README.md:45 -- the second published single-GPU wall-clock)
+    ("res2net50_w8_s6_c16", 256, 4, 600, False, None, None),
+    ("res2net50_w8_s6_c16", 128, 8, 600, False, None, None),
+    ("res2net50_w8_s6_c16", 256, 4, 600, True, None, (0, 1, 2)),
+    ("res2net50_w8_s6_c16", 128, 8, 600, True, None, (0, 1, 2)),
+    ("res2net50_w8_s6_c16", 256, 4, 600, True, None, (0, 1)),
+    ("res2net50_w8_s6_c16", 512, 2, 600, True, None, (0, 1, 2)),
+    ("res2net50_w8_s6_c16", 256, 4, 600, True, "dots_saveable", (0, 1, 2)),
+    ("res2net50_w8_s6_c16", 256, 4, 600, True, None, None),
+]
+
 ATT152_CONFIGS = [
     # round-4 sweep 1 findings: f600 "32x32 + remat" crashes the TPU worker
     # reproducibly (101 and 200 alike); 64x16 remat(0,1,2) is the working
@@ -133,8 +146,8 @@ def main():
         return
 
     suite = sys.argv[1] if len(sys.argv) > 1 else "quick"
-    configs = {"att600": ATT600_CONFIGS, "att152": ATT152_CONFIGS}.get(
-        suite, CONFIGS)
+    configs = {"att600": ATT600_CONFIGS, "att152": ATT152_CONFIGS,
+               "w8f600": W8_F600_CONFIGS}.get(suite, CONFIGS)
     for model, bs, accum, frames, remat, policy, stages in configs:
         args = [sys.executable, os.path.abspath(__file__), "--one",
                 model, str(bs), str(accum), str(frames), str(remat),

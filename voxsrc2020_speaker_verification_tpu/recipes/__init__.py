@@ -171,6 +171,11 @@ def dpn_voxsrc2020_vox2_dev_aug(model: str = "dpn68", **overrides):
 SINGLE_CHIP_SHAPES = {
     ("res2net50_w8_s6_c16", 200): dict(
         batch_size=256, num_accumulation_steps=4, remat=False, bn_groups=8),
+    # f600 no-remat OOMs at any microbatch; 128x8 stage-remat crashes the
+    # worker (the f600 small-batch fault class, PERF.md) -- 256x4 works.
+    ("res2net50_w8_s6_c16", 600): dict(
+        batch_size=256, num_accumulation_steps=4, remat=True,
+        remat_stages=(0, 1, 2), bn_groups=16),
     ("res2net50_w24_s4_c32", 200): dict(
         batch_size=128, num_accumulation_steps=8, remat=False, bn_groups=4),
     ("res2net50_w24_s4_c32", 600): dict(
