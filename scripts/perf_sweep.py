@@ -2,7 +2,7 @@
 the att-pool flagships, and the LMFT shapes, across remat variants.
 
 Usage:
-  python scripts/perf_sweep.py [quick|full|att600|att152]
+  python scripts/perf_sweep.py [quick|full|att600|att152|w8f600]
   python scripts/perf_sweep.py --one <model> <bs> <accum> <frames> \
       <remat> <policy> <stages>        # single config (internal)
 
@@ -146,8 +146,12 @@ def main():
         return
 
     suite = sys.argv[1] if len(sys.argv) > 1 else "quick"
-    configs = {"att600": ATT600_CONFIGS, "att152": ATT152_CONFIGS,
-               "w8f600": W8_F600_CONFIGS}.get(suite, CONFIGS)
+    suites = {"quick": CONFIGS, "full": CONFIGS,
+              "att600": ATT600_CONFIGS, "att152": ATT152_CONFIGS,
+              "w8f600": W8_F600_CONFIGS}
+    if suite not in suites:
+        sys.exit(f"unknown suite {suite!r}; one of {sorted(suites)}")
+    configs = suites[suite]
     for model, bs, accum, frames, remat, policy, stages in configs:
         args = [sys.executable, os.path.abspath(__file__), "--one",
                 model, str(bs), str(accum), str(frames), str(remat),

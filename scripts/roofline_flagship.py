@@ -200,7 +200,7 @@ def main():
         total, floor = analytic()
         print()
         w32_total, w32_floor = analytic(
-            width_override=(32, 64, 128, 192), verbose=False)
+            width_override=(32, 64, 128, 256), verbose=False)
         print(f"(width 32 variant would move {w32_total/1e9:.0f} GB, "
               f"floor {w32_floor:.0f} ms -- more bytes, so lane padding "
               f"only wins if it raises achieved GB/s by more)")

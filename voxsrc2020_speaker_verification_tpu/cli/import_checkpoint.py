@@ -53,7 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "cli.export/evaluate need no extra flags); without "
                         "it a config with the given model/projection/"
                         "num-classes and framework defaults is written")
-    p.add_argument("--feat-dim", type=int, default=80)
+    p.add_argument("--feat-dim", type=int, default=None,
+                   help="feature dimensionality for the written config.json "
+                        "(default: the recipe's value, or 80 without "
+                        "--recipe); MUST match what the checkpoint was "
+                        "trained on -- nothing downstream can detect a "
+                        "mismatch (res2net param shapes are feat_dim-"
+                        "independent)")
     return p
 
 
@@ -127,13 +133,15 @@ def main(argv=None) -> None:
         config, _ = get_recipe(args.recipe, model=args.model)
         config = dataclasses.replace(
             config, projection=args.projection, num_classes=args.num_classes,
-            num_centers=args.num_centers)
+            num_centers=args.num_centers,
+            **({"feat_dim": args.feat_dim}
+               if args.feat_dim is not None else {}))
     else:
         from ..training.config import TrainConfig
         config = TrainConfig(
             model=args.model, projection=args.projection,
             num_classes=args.num_classes, num_centers=args.num_centers,
-            feat_dim=args.feat_dim)
+            feat_dim=args.feat_dim if args.feat_dim is not None else 80)
     config.to_json(os.path.join(args.exp_dir, "config.json"))
     print(f"imported {args.model} ({n_params / 1e6:.1f}M params, "
           f"{'with' if slots else 'zero'} momentum) at step {step} "

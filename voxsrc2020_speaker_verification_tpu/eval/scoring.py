@@ -116,6 +116,10 @@ def cohort_stats(
     the (N, C) score matrix is never materialized -- at VoxCeleb scale that
     would be tens of GB.
     """
+    # A cohort smaller than topk means "use the whole cohort" (the reference
+    # hits the same case through numpy's clamping [:, :topk] slice); the
+    # device top_k would raise on k > rows.
+    topk = min(topk, len(cohort_matrix))
     if use_device:
         try:
             import jax
