@@ -196,6 +196,31 @@ def main():
         native_audio_s_per_s = (iters / nat_dt * config.effective_batch
                                 * (config.feat_length / 100.0))
 
+    def measure_leg(leg_config, iters=5, warmup=2):
+        """Synthetic-data device throughput of one training-leg config.
+        NB: on the axon tunnel only a value fetch truly synchronizes
+        (block_until_ready is a no-op on remote futures), so warmup and
+        timing both end with float()."""
+        leg_state = create_train_state(leg_config, jax.random.PRNGKey(0))
+        leg_step = jax.jit(make_train_step(leg_config), donate_argnums=0)
+        la, lb = leg_config.num_accumulation_steps, leg_config.batch_size
+        leg_feats = jax.random.normal(
+            jax.random.PRNGKey(1),
+            (la, lb, leg_config.feat_length, leg_config.feat_dim),
+            jnp.float32)
+        leg_labels = jax.random.randint(
+            jax.random.PRNGKey(2), (la, lb), 0, leg_config.num_classes)
+        for _ in range(warmup):
+            leg_state, m = leg_step(leg_state, leg_feats, leg_labels, rng)
+        _ = float(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            leg_state, m = leg_step(leg_state, leg_feats, leg_labels, rng)
+        _ = float(m["loss"])
+        dt = time.perf_counter() - t0
+        return (iters / dt * leg_config.effective_batch
+                * (leg_config.feat_length / 100.0))
+
     # LMFT leg of the same model: f600 crops at the measured-best v5e shape
     # (256 x 4, stage-(0,1,2) remat -- f600 no-remat exceeds HBM at any
     # microbatch, PERF.md).  Together with the pretrain leg this prices the
@@ -203,29 +228,10 @@ def main():
     lmft_audio_s_per_s = None
     if n_chips == 1:
         import dataclasses
-        lm_config = dataclasses.replace(
+        lmft_audio_s_per_s = measure_leg(dataclasses.replace(
             config, feat_length=600, batch_size=256,
             num_accumulation_steps=4, remat=True, remat_stages=(0, 1, 2),
-            bn_groups=16)
-        lm_state = create_train_state(lm_config, jax.random.PRNGKey(0))
-        lm_step = jax.jit(make_train_step(lm_config), donate_argnums=0)
-        lm_feats = jax.random.normal(
-            jax.random.PRNGKey(1), (4, 256, 600, config.feat_dim),
-            jnp.float32)
-        lm_labels = jax.random.randint(
-            jax.random.PRNGKey(2), (4, 256), 0, config.num_classes)
-        for _ in range(2):
-            lm_state, lm_metrics = lm_step(lm_state, lm_feats, lm_labels, rng)
-        _ = float(lm_metrics["loss"])
-        lm_iters = 5
-        t0 = time.perf_counter()
-        for _ in range(lm_iters):
-            lm_state, lm_metrics = lm_step(lm_state, lm_feats, lm_labels, rng)
-        _ = float(lm_metrics["loss"])
-        lm_dt = time.perf_counter() - t0
-        lmft_audio_s_per_s = (lm_iters / lm_dt * lm_config.effective_batch
-                              * (lm_config.feat_length / 100.0))
-        del lm_state, lm_feats, lm_labels
+            bn_groups=16))
 
     # North-star config (BASELINE.md: res2net50_w24_s4_c32, the model the
     # project is judged on) at its best measured single-chip shape, 128 x 8
@@ -235,27 +241,9 @@ def main():
     north_star = None
     if n_chips == 1:
         import dataclasses
-        ns_config = dataclasses.replace(
+        north_star = measure_leg(dataclasses.replace(
             config, model="res2net50_w24_s4_c32",
-            batch_size=128, num_accumulation_steps=8, remat=False)
-        ns_state = create_train_state(ns_config, jax.random.PRNGKey(0))
-        ns_step = jax.jit(make_train_step(ns_config), donate_argnums=0)
-        ns_feats = jax.random.normal(
-            jax.random.PRNGKey(1),
-            (8, 128, ns_config.feat_length, ns_config.feat_dim), jnp.float32)
-        ns_labels = jax.random.randint(
-            jax.random.PRNGKey(2), (8, 128), 0, ns_config.num_classes)
-        for _ in range(2):
-            ns_state, ns_metrics = ns_step(ns_state, ns_feats, ns_labels, rng)
-        _ = float(ns_metrics["loss"])
-        ns_iters = 5
-        t0 = time.perf_counter()
-        for _ in range(ns_iters):
-            ns_state, ns_metrics = ns_step(ns_state, ns_feats, ns_labels, rng)
-        _ = float(ns_metrics["loss"])
-        ns_dt = time.perf_counter() - t0
-        north_star = (ns_iters / ns_dt * ns_config.effective_batch
-                      * (ns_config.feat_length / 100.0))
+            batch_size=128, num_accumulation_steps=8, remat=False))
 
     print(json.dumps({
         "metric": "train_throughput_res2net50_w8_s6_c16",
