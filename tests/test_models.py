@@ -189,7 +189,9 @@ def test_remat_and_policy_preserve_forward():
     want = base.apply(variables, x, False)
     for kwargs in ({"remat": True},
                    {"remat": True, "remat_policy": "dots_saveable"},
-                   {"remat": True, "remat_stages": (0, 1)}):
+                   {"remat": True, "remat_stages": (0, 1)},
+                   {"remat": True, "remat_stages": (0, 1, 2),
+                    "remat_keep_blocks": ((2, 2), (2, 3))}):
         got = gm("res2net50_w8_s6_c16", **kwargs).apply(variables, x, False)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-6, atol=1e-6)

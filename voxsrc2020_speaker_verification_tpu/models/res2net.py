@@ -184,6 +184,12 @@ class Res2Net(fnn.Module):
                          # the largest (un-downsampled) activations, so
                          # remat_stages=(0, 1) buys most of the memory back
                          # for a fraction of the recompute tax
+    remat_keep_blocks: Optional[Tuple[Tuple[int, int], ...]] = None
+                         # block-granular override: (stage, block) pairs
+                         # (0-based) kept RESIDENT inside remat'd stages --
+                         # when stage granularity leaves HBM headroom, each
+                         # kept block skips its recompute (measured win on
+                         # the w8 f600 LMFT leg, PERF.md round 4)
 
     @fnn.compact
     def __call__(
@@ -214,14 +220,17 @@ class Res2Net(fnn.Module):
             # static_argnums: (2,) = `training` (bool drives BN mode)
             remat_cls = fnn.remat(BottleneckBlockV1, static_argnums=(2,),
                                   policy=policy)
+        keep = frozenset(self.remat_keep_blocks or ())
         for i, num_blocks in enumerate(cfg.block_sizes):
             stage_cls = block_cls
             if self.remat and (self.remat_stages is None
                                or i in self.remat_stages):
                 stage_cls = remat_cls
             for j in range(num_blocks):
+                block_stage_cls = (block_cls if (i, j) in keep
+                                   else stage_cls)
                 strides = cfg.block_strides[i] if j == 0 else 1
-                x = stage_cls(
+                x = block_stage_cls(
                     filters=cfg.num_filters[i], strides=strides,
                     use_projection=(j == 0), split=cfg.split, width=cfg.width[i],
                     dtype=self.dtype, name=f"layer{i + 1}_block{j + 1}",
@@ -257,8 +266,12 @@ RES2NET_CONFIGS = {
 
 
 def res2net(name: str, dtype=None, remat: bool = False,
-            remat_policy=None, remat_stages=None) -> Res2Net:
+            remat_policy=None, remat_stages=None,
+            remat_keep_blocks=None) -> Res2Net:
     return Res2Net(config=RES2NET_CONFIGS[name], dtype=dtype, remat=remat,
                    remat_policy=remat_policy,
                    remat_stages=(tuple(remat_stages)
-                                 if remat_stages is not None else None))
+                                 if remat_stages is not None else None),
+                   remat_keep_blocks=(tuple(map(tuple, remat_keep_blocks))
+                                      if remat_keep_blocks is not None
+                                      else None))

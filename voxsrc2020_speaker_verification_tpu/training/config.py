@@ -54,6 +54,9 @@ class TrainConfig:
     remat_policy: Optional[str] = None  # jax.checkpoint_policies name for
                           # selective remat, e.g. "dots_saveable" keeps MXU
                           # outputs and recomputes only elementwise chains
+    remat_keep_blocks: Optional[tuple] = None  # (stage, block) pairs kept
+                          # resident inside remat'd stages -- spends spare
+                          # HBM headroom to skip those blocks' recompute
     bn_groups: int = 1    # 1 = global-batch (sync) BN statistics; set to the
                           # data-shard count for the reference's per-replica
                           # BN semantics (deterministic in the group count,

@@ -27,6 +27,7 @@ class SpeakerNet(fnn.Module):
     remat: bool = False
     remat_policy: Optional[str] = None
     remat_stages: Optional[tuple] = None
+    remat_keep_blocks: Optional[tuple] = None
     bn_groups: int = 1  # >1: per-replica BN statistics over G batch groups
                         # (the reference's Horovod BN, models.py:62-73)
 
@@ -34,7 +35,8 @@ class SpeakerNet(fnn.Module):
         self.encoder = get_model(self.model_name, dtype=self.dtype,
                                  remat=self.remat,
                                  remat_policy=self.remat_policy,
-                                 remat_stages=self.remat_stages)
+                                 remat_stages=self.remat_stages,
+                                 remat_keep_blocks=self.remat_keep_blocks)
         self.projection = MarginProjection(
             num_classes=self.num_classes, kind=self.projection_id,
             num_centers=self.num_centers, dtype=self.dtype, name="projection",

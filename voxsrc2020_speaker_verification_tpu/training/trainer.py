@@ -61,6 +61,7 @@ def build_speaker_net(config: TrainConfig) -> SpeakerNet:
         remat=config.remat,
         remat_policy=config.remat_policy,
         remat_stages=config.remat_stages,
+        remat_keep_blocks=config.remat_keep_blocks,
         bn_groups=config.bn_groups,
     )
 
