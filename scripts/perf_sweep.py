@@ -63,6 +63,11 @@ W8_F600_CONFIGS = [
     ("res2net50_w8_s6_c16", 512, 2, 600, True, None, (0, 1, 2)),
     ("res2net50_w8_s6_c16", 256, 4, 600, True, "dots_saveable", (0, 1, 2)),
     ("res2net50_w8_s6_c16", 256, 4, 600, True, None, None),
+    # round-5 closure of the lattice (PERF.md w8 section): 64x16 no-remat
+    # FITS but starves the MXU (784 audio-s/s); 128x8 remat crashes the
+    # worker at any stage set; 512x2 remat and 256x4 (0,1) OOM.
+    ("res2net50_w8_s6_c16", 64, 16, 600, False, None, None),
+    ("res2net50_w8_s6_c16", 128, 8, 600, True, None, (0,)),
 ]
 
 ATT152_CONFIGS = [
