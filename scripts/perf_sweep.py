@@ -2,7 +2,7 @@
 the att-pool flagships, and the LMFT shapes, across remat variants.
 
 Usage:
-  python scripts/perf_sweep.py [quick|full|att600|att152|w8f600]
+  python scripts/perf_sweep.py [quick|full|att600|att152|w8f600|c64dpn]
   python scripts/perf_sweep.py --one <model> <bs> <accum> <frames> \
       <remat> <policy> <stages>        # single config (internal)
 
@@ -68,6 +68,30 @@ W8_F600_CONFIGS = [
     # worker at any stage set; 512x2 remat and 256x4 (0,1) OOM.
     ("res2net50_w8_s6_c16", 64, 16, 600, False, None, None),
     ("res2net50_w8_s6_c16", 128, 8, 600, True, None, (0,)),
+]
+
+# Round-5 closure of the README-table shape inventory (VERDICT weak #2):
+# res2net50_w24_s4_c64 (default model of res2net_vox2_dev_aug) both legs,
+# dpn68's f600 LMFT leg (requires the DPN remat knobs added this round).
+C64_DPN_CONFIGS = [
+    ("res2net50_w24_s4_c64", 128, 8, 200, False, None, None),
+    ("res2net50_w24_s4_c64", 256, 4, 200, False, None, None),
+    ("res2net50_w24_s4_c64", 64, 16, 200, False, None, None),
+    ("res2net50_w24_s4_c64", 256, 4, 200, True, None, (0, 1)),
+    ("res2net50_w24_s4_c64", 256, 4, 200, True, None, (0, 1, 2)),
+    ("res2net50_w24_s4_c64", 128, 8, 600, True, None, (0, 1, 2)),
+    ("res2net50_w24_s4_c64", 128, 8, 600, True, None, None),
+    ("res2net50_w24_s4_c64", 64, 16, 600, False, None, None),
+    ("res2net50_w24_s4_c64", 64, 16, 600, True, None, (0, 1, 2)),
+    ("res2net50_w24_s4_c64", 64, 16, 600, True, None, None),
+    ("dpn68", 256, 4, 600, False, None, None),
+    ("dpn68", 128, 8, 600, False, None, None),
+    ("dpn68", 64, 16, 600, False, None, None),
+    ("dpn68", 256, 4, 600, True, None, (0, 1, 2)),
+    ("dpn68", 128, 8, 600, True, None, (0, 1, 2)),
+    ("dpn68", 128, 8, 600, True, None, None),
+    ("dpn68", 64, 16, 600, True, None, (0, 1, 2)),
+    ("dpn68", 64, 16, 600, True, None, None),
 ]
 
 ATT152_CONFIGS = [
@@ -153,7 +177,7 @@ def main():
     suite = sys.argv[1] if len(sys.argv) > 1 else "quick"
     suites = {"quick": CONFIGS, "full": CONFIGS,
               "att600": ATT600_CONFIGS, "att152": ATT152_CONFIGS,
-              "w8f600": W8_F600_CONFIGS}
+              "w8f600": W8_F600_CONFIGS, "c64dpn": C64_DPN_CONFIGS}
     if suite not in suites:
         sys.exit(f"unknown suite {suite!r}; one of {sorted(suites)}")
     configs = suites[suite]

@@ -197,6 +197,24 @@ def test_remat_and_policy_preserve_forward():
                                    rtol=1e-6, atol=1e-6)
 
 
+def test_dpn_remat_preserves_forward():
+    """dpn68 remat (round-5: required for its f600 LMFT leg on 16 GB HBM)
+    changes memory scheduling, never values — same contract as res2net."""
+    from voxsrc2020_speaker_verification_tpu.models import get_model as gm
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 40))
+    base = gm("dpn68")
+    variables = base.init(jax.random.PRNGKey(0), x, False)
+    want = base.apply(variables, x, False)
+    for kwargs in ({"remat": True},
+                   {"remat": True, "remat_stages": (0, 1, 2)},
+                   {"remat": True, "remat_stages": (0, 1, 2),
+                    "remat_keep_blocks": ((2, 2), (2, 3))}):
+        got = gm("dpn68", **kwargs).apply(variables, x, False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_all_models_buildable():
     for name in MODEL_NAMES:
         m = get_model(name)

@@ -19,7 +19,7 @@ MODEL_NAMES = (("tdnn",) + tuple(RES2NET_CONFIGS) + tuple(DPN_CONFIGS)
 def get_model(name: str, dtype=None, remat: bool = False, remat_policy=None,
               remat_stages=None, remat_keep_blocks=None):
     """Build a model by recipe id. dtype is the compute dtype (bf16 for train);
-    remat enables per-block rematerialization (res2net family)."""
+    remat enables per-block rematerialization (res2net and dpn families)."""
     if name == "tdnn" or name in TDNN_VARIANTS:
         return tdnn(name, dtype=dtype)
     if name in RES2NET_CONFIGS:
@@ -27,7 +27,9 @@ def get_model(name: str, dtype=None, remat: bool = False, remat_policy=None,
                        remat_policy=remat_policy, remat_stages=remat_stages,
                        remat_keep_blocks=remat_keep_blocks)
     if name in DPN_CONFIGS:
-        return dpn(name, dtype=dtype)
+        return dpn(name, dtype=dtype, remat=remat,
+                   remat_policy=remat_policy, remat_stages=remat_stages,
+                   remat_keep_blocks=remat_keep_blocks)
     if name in ECAPA_CONFIGS:
         return ecapa(name, dtype=dtype)
     raise ValueError(f"unknown model {name!r}; available: {MODEL_NAMES}")

@@ -124,6 +124,13 @@ class Dpn(fnn.Module):
 
     config: DpnConfig
     dtype: Optional[Any] = None
+    # Rematerialization knobs, same semantics as Res2Net (models/res2net.py):
+    # the v5e's 16 GB HBM cannot hold dpn68's f600 LMFT activations at any
+    # microbatch without recompute (round-5 sweep, PERF.md).
+    remat: bool = False
+    remat_policy: Optional[str] = None
+    remat_stages: Optional[Tuple[int, ...]] = None
+    remat_keep_blocks: Optional[Tuple[Tuple[int, int], ...]] = None
 
     @fnn.compact
     def __call__(
@@ -143,14 +150,27 @@ class Dpn(fnn.Module):
         x = jax.nn.relu(x)
         x = ops.mask_time(x, mask)
 
+        block_cls = DualPathBlock
+        if self.remat:
+            policy = (getattr(jax.checkpoint_policies, self.remat_policy)
+                      if self.remat_policy else None)
+            # static_argnums: (2,) = `training` (bool drives BN mode)
+            remat_cls = fnn.remat(DualPathBlock, static_argnums=(2,),
+                                  policy=policy)
+        keep = frozenset(self.remat_keep_blocks or ())
+
         state = x
         for i in range(4):
+            stage_cls = block_cls
+            if self.remat and (self.remat_stages is None
+                               or i in self.remat_stages):
+                stage_cls = remat_cls
             bw = int(cfg.bw * (2 ** i) * cfg.bw_factor)
             inc = cfg.inc_sec[i]
             r = cfg.k_r * bw // (cfg.bw * cfg.bw_factor)
             for j in range(cfg.k_sec[i]):
                 ptype = cfg.projection_types[i] if j == 0 else "normal"
-                state = DualPathBlock(
+                state = (block_cls if (i, j) in keep else stage_cls)(
                     num_1_a=r, num_3_b=r, num_1_c=bw, inc=inc,
                     projection_type=ptype, cardinality=cfg.cardinality,
                     use_se=cfg.use_se, dtype=self.dtype,
@@ -176,5 +196,11 @@ DPN_CONFIGS = {
 }
 
 
-def dpn(name: str, dtype=None) -> Dpn:
-    return Dpn(config=DPN_CONFIGS[name], dtype=dtype)
+def dpn(name: str, dtype=None, remat: bool = False, remat_policy=None,
+        remat_stages=None, remat_keep_blocks=None) -> Dpn:
+    return Dpn(config=DPN_CONFIGS[name], dtype=dtype, remat=remat,
+               remat_policy=remat_policy,
+               remat_stages=(tuple(remat_stages)
+                             if remat_stages is not None else None),
+               remat_keep_blocks=(tuple(map(tuple, remat_keep_blocks))
+                                  if remat_keep_blocks is not None else None))

@@ -176,6 +176,15 @@ SINGLE_CHIP_SHAPES = {
     ("res2net50_w8_s6_c16", 600): dict(
         batch_size=256, num_accumulation_steps=4, remat=True,
         remat_stages=(0, 1, 2), bn_groups=16),
+    # c64 (the default model of res2net_vox2_dev_aug): 256x4 OOMs no-remat
+    # AND stage-remat at f200; 128x8 no-remat is the one fast f200 shape.
+    ("res2net50_w24_s4_c64", 200): dict(
+        batch_size=128, num_accumulation_steps=8, remat=False, bn_groups=4),
+    # f600: every 128x8 remat variant OOMs; 64x16 stage-remat works
+    # (374 audio-s/s, beats whole-block 369).
+    ("res2net50_w24_s4_c64", 600): dict(
+        batch_size=64, num_accumulation_steps=16, remat=True,
+        remat_stages=(0, 1, 2), bn_groups=4),
     ("res2net50_w24_s4_c32", 200): dict(
         batch_size=128, num_accumulation_steps=8, remat=False, bn_groups=4),
     ("res2net50_w24_s4_c32", 600): dict(
@@ -202,6 +211,12 @@ SINGLE_CHIP_SHAPES = {
         remat_stages=(0, 1, 2), bn_groups=1),
     ("dpn68", 200): dict(
         batch_size=128, num_accumulation_steps=8, remat=False, bn_groups=4),
+    # dpn68's f600 LMFT leg OOMs no-remat at every microbatch (128/64) and
+    # at 128x8 with any remat; DPN grew the res2net remat knobs in round 5
+    # for exactly this shape.
+    ("dpn68", 600): dict(
+        batch_size=64, num_accumulation_steps=16, remat=True,
+        remat_stages=(0, 1, 2), bn_groups=4),
     ("tdnn", 320): dict(
         batch_size=1024, num_accumulation_steps=1, remat=False, bn_groups=8),
 }
