@@ -185,7 +185,11 @@ def oracle(corpus):
         capture_output=True, text=True, env=env, timeout=3600,
     )
     if res.returncode != 0:
-        pytest.skip(f"reference system oracle failed: {res.stderr[-1200:]}")
+        # TF imported fine, so a crash here is a real regression (ours or the
+        # oracle env's) -- fail loudly instead of silently dropping the
+        # system-level parity gate from the suite (ADVICE r4).
+        pytest.fail(f"reference system oracle crashed (rc={res.returncode}): "
+                    f"{res.stderr[-1200:]}")
     return np.load(out)
 
 

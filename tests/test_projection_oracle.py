@@ -35,7 +35,8 @@ def oracle(tmp_path_factory):
         capture_output=True, text=True, env=env, timeout=600,
     )
     if res.returncode != 0:
-        pytest.skip(f"reference oracle failed to run: {res.stderr[-500:]}")
+        pytest.fail(  # TF imported fine: crash = regression (ADVICE r4)
+            f"reference oracle crashed (rc={res.returncode}): {res.stderr[-500:]}")
     return np.load(out)
 
 

@@ -65,8 +65,10 @@ def envelope(tmp_path_factory):
             capture_output=True, text=True, env=env, timeout=3000,
         )
         if res.returncode != 0:
-            pytest.skip(f"reference oracle (seed {seed}) failed: "
-                        f"{res.stderr[-800:]}")
+            # TF imported fine: a crashing oracle is a regression, not an
+            # environment gap -- fail instead of skip (ADVICE r4).
+            pytest.fail(f"reference oracle (seed {seed}) crashed "
+                        f"(rc={res.returncode}): {res.stderr[-800:]}")
         outs.append(np.load(out))
     return outs
 

@@ -83,7 +83,8 @@ def oracle(request, tmp_path_factory):
         capture_output=True, text=True, env=env, timeout=1800,
     )
     if res.returncode != 0:
-        pytest.skip(f"reference trainer oracle failed: {res.stderr[-800:]}")
+        pytest.fail(  # TF imported fine: crash = regression (ADVICE r4)
+            f"reference trainer oracle crashed (rc={res.returncode}): {res.stderr[-800:]}")
     return model, np.load(out)
 
 

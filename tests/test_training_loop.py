@@ -98,11 +98,24 @@ class TestRecipes:
         assert (cfg.batch_size, cfg.num_accumulation_steps) == (128, 8)
         assert cfg.total_steps == base.total_steps
         assert cfg.learning_rate == base.learning_rate
-        # explicit overrides beat the table
+        # explicit overrides beat the table -- and pinning EITHER of
+        # batch_size/num_accumulation_steps drops BOTH from the table, so a
+        # partial merge can never silently change the effective batch
+        # (ADVICE r4: 64 x table-8 = 512 vs the recipe's 1024)
         cfg, _ = get_recipe("res2net_vox2_dev_aug",
                             model="res2net50_w24_s4_c32", single_chip=True,
                             batch_size=64)
         assert cfg.batch_size == 64
+        assert cfg.num_accumulation_steps == base.num_accumulation_steps
+        cfg, _ = get_recipe("res2net_vox2_dev_aug",
+                            model="res2net50_w24_s4_c32", single_chip=True,
+                            num_accumulation_steps=2)
+        assert cfg.batch_size == base.batch_size
+        assert cfg.num_accumulation_steps == 2
+        # non-shape table keys (remat/bn_groups) still apply under a
+        # partial batch override
+        assert cfg.bn_groups == SINGLE_CHIP_SHAPES[
+            ("res2net50_w24_s4_c32", 200)]["bn_groups"]
         # LMFT leg picks the f600 shape (stage-selective remat)
         cfg, _ = get_recipe("res2net_finetune_vox2_dev",
                             model="res2net50_w24_s4_c32", single_chip=True)

@@ -234,7 +234,13 @@ def get_recipe(name: str, model: Optional[str] = None, single_chip: bool = False
     config, resume = fn(model, **overrides) if model else fn(**overrides)
     if single_chip:
         shape = single_chip_shape(config.model, config.feat_length)
-        # explicit user overrides win over the shape table
+        # Explicit user overrides win over the shape table.  batch_size and
+        # num_accumulation_steps form ONE shape: if the user pins either,
+        # drop BOTH table keys, else a partial merge silently changes the
+        # effective batch (and with it step counts and the derived LR).
+        if {"batch_size", "num_accumulation_steps"} & set(overrides):
+            shape.pop("batch_size", None)
+            shape.pop("num_accumulation_steps", None)
         shape = {k: v for k, v in shape.items() if k not in overrides}
         if shape:
             config = _apply(config, shape)
