@@ -10,7 +10,8 @@ batched forward + length-weighted chunk averaging -- over a synthetic corpus
 with a VoxCeleb1-like utterance-length distribution (log-normal, median
 ~8 s, clipped to [4 s, 60 s]; VoxCeleb1 mean is 8.25 s).
 
-Usage: python scripts/bench_extract.py [model] [batch_size] [num_utts]
+Usage: python scripts/bench_extract.py [model] [batch_size] [num_utts] [wire]
+(wire: float32 | bfloat16 -- the host->device feature wire format)
 """
 
 import os
@@ -51,6 +52,12 @@ def main():
     model = sys.argv[1] if len(sys.argv) > 1 else "res2net50_w24_s4_c32"
     batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     num_utts = int(sys.argv[3]) if len(sys.argv) > 3 else 2000
+    wire = sys.argv[4] if len(sys.argv) > 4 else "float32"
+    wire_dtype = None
+    if wire == "bfloat16":
+        import ml_dtypes
+
+        wire_dtype = ml_dtypes.bfloat16
 
     config = TrainConfig(model=model, feat_dim=80, bf16=True)
     net = build_speaker_net(config)
@@ -60,6 +67,7 @@ def main():
 
     @jax.jit
     def embed(feats, mask):
+        feats = feats.astype("float32")  # accepts the bf16 wire
         return net.apply(
             {"params": variables["params"], "batch_stats": variables["batch_stats"]},
             feats, mask, method=SpeakerNet.embed,
@@ -78,7 +86,8 @@ def main():
                 yield utt, f
 
         t0 = time.perf_counter()
-        emb = extract_embeddings(fn, counted(), batch_size=batch_size)
+        emb = extract_embeddings(fn, counted(), batch_size=batch_size,
+                                 wire_dtype=wire_dtype)
         # extract_embeddings materializes every result via np.asarray inside
         # each flush, so all device work is already synchronized here.
         _ = float(next(iter(emb.values()))[0])
@@ -88,7 +97,7 @@ def main():
     # warmup pass compiles every (bucket, batch) shape
     run(min(400, num_utts), seed=123)
     audio_s, dt, n = run(num_utts, seed=0)
-    print(f"# model={model} batch={batch_size} utts={n} "
+    print(f"# model={model} batch={batch_size} utts={n} wire={wire} "
           f"audio={audio_s:.0f}s wall={dt:.1f}s")
     print(f"pipeline_audio_s_per_s={audio_s / dt:.0f}  "
           f"# includes host->device feature streaming (tunnel-bound on axon)")

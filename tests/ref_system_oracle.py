@@ -73,23 +73,47 @@ def main() -> None:
     import tf_data
     import tf_projection
     import tf_scheduler
-    from models import tdnn_model
 
-    model = tdnn_model.Model(
-        output_dim=cfg["output_dim"], padding="same",
-        block_fn=tdnn_model.conv_relu_bn_block,
-        block_filters=cfg["block_filters"],
-        block_kernel_sizes=[(5, 1), (3, 1), (3, 1), (1, 1), (1, 1)],
-        block_dilations=[(1, 1), (2, 1), (3, 1), (1, 1), (1, 1)],
-        block_cardinalities=None, data_format="channels_last")
+    # Model family dispatch: the reference Model classes are parameterized
+    # for thin instances (tdnn_model.py:112-124, res2net_model.py:139-167).
+    family = cfg.get("family", "tdnn")
+    if family == "tdnn":
+        from models import tdnn_model
+
+        model = tdnn_model.Model(
+            output_dim=cfg["output_dim"], padding="same",
+            block_fn=tdnn_model.conv_relu_bn_block,
+            block_filters=cfg["block_filters"],
+            block_kernel_sizes=[(5, 1), (3, 1), (3, 1), (1, 1), (1, 1)],
+            block_dilations=[(1, 1), (2, 1), (3, 1), (1, 1), (1, 1)],
+            block_cardinalities=None, data_format="channels_last")
+        ED = 2   # 1-D conv layout (B, T, 1, F): ref run_tf_train_local.sh
+    else:
+        assert family == "res2net", family
+        from models import res2net_model
+
+        model = res2net_model.Model(
+            resnet_size=50, bottleneck=True,
+            num_filters=list(cfg["num_filters"]),
+            output_dim=cfg["output_dim"], kernel_size=3, conv_stride=1,
+            first_pool_size=None, first_pool_stride=None,
+            block_sizes=list(cfg["block_sizes"]),
+            block_strides=list(cfg["block_strides"]),
+            cardinality=1, use_se=False, split=cfg["split"],
+            width=list(cfg["width"]),
+            data_format="channels_last")
+        ED = 3   # 2-D conv layout (B, T, F, 1): expansion_dim=3
+                 # (ref run_res2net_local_vox2_dev_aug.sh:21)
 
     # world size 1 (ref tf_train_tdnn.py:150): one rank, one feeder shard
     epoch_size = DATASET_LENGTH // BATCH // ACCUM
     num_steps = epoch_size * TOTAL_EPOCHS
     base_lr = 0.08 / 128 * BATCH * ACCUM
 
-    # --- train graph, following ref tf_train_tdnn.py:194-258 ---
-    X = tf.placeholder(tf.float32, [None, None, 1, FEAT_DIM], name="inputs")
+    # --- train graph, following ref tf_train_tdnn.py:189-258 ---
+    input_dims = [None, None, FEAT_DIM]
+    input_dims.insert(ED, 1)                                   # ref :189-192
+    X = tf.placeholder(tf.float32, input_dims, name="inputs")
     Y = tf.placeholder(tf.int32, [None], name="labels")
     global_step = tf.train.get_or_create_global_step()
     learning_rate = tf_scheduler.warmup_constant_exponential_decay(
@@ -199,7 +223,7 @@ def main() -> None:
             _, gs, ce, reg, acc, lr, mt = sess.run(
                 [train_op, global_step, classification_loss,
                  regularization_loss, accuracy, learning_rate, margin_total],
-                feed_dict={X: feats[:, :, None, :], Y: labels})
+                feed_dict={X: np.expand_dims(feats, ED), Y: labels})
             logs.append((gs, ce, reg, acc, lr, mt))
         for v in tf.global_variables():
             dump["final/" + v.name] = sess.run(v)
@@ -215,8 +239,7 @@ def main() -> None:
     # Saver restore is numerically identical to) ---
     eval_graph = tf.Graph()
     with eval_graph.as_default():
-        Xe = tf.placeholder(tf.float32, [None, None, 1, FEAT_DIM],
-                            name="inputs")
+        Xe = tf.placeholder(tf.float32, input_dims, name="inputs")
         emb_e = model(inputs=Xe, training=False)
         saver = tf.train.Saver(var_list=tf.global_variables())
 
@@ -228,7 +251,8 @@ def main() -> None:
         out = {}
         max_frames = 1000
         for utt, feat in ref_kaldi_io.read_mat_scp(scp_path):
-            x = feat[None, :, None, :]  # BATCH_SIZE=1, expand_dim 2
+            # BATCH_SIZE=1; expand_dim per family (ref tf_extract.py:32)
+            x = np.expand_dims(feat, ED - 1)[None]
             num_chunks = 1 + (x.shape[1] - 25) // max_frames
             vals, lens = [], []
             for i in range(num_chunks):

@@ -58,6 +58,44 @@ def test_extraction_matches_manual_chunked_average():
         np.testing.assert_allclose(got[utt], num / den, rtol=2e-4, atol=2e-5)
 
 
+def test_bf16_wire_parity():
+    """The bf16 feature wire (round 5: halves the host->device transfer on
+    the eval path) must be BIT-IDENTICAL to the fp32 wire for a bf16-compute
+    model -- the model's entry cast rounds to bf16 either way -- and within
+    input-quantization noise for an fp32 model."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+    from voxsrc2020_speaker_verification_tpu.models import get_model
+
+    feat_dim = 24
+    rng = np.random.RandomState(0)
+    utts = {"a": rng.randn(80, feat_dim).astype(np.float32),
+            "b": rng.randn(300, feat_dim).astype(np.float32)}
+
+    for dtype, exact in ((jnp.bfloat16, True), (None, False)):
+        model = get_model("tdnn", dtype=dtype)
+        variables = model.init(
+            jax.random.PRNGKey(0), np.zeros((1, 50, feat_dim), np.float32),
+            False)
+
+        @jax.jit
+        def embed_fn(feats, mask, model=model, variables=variables):
+            return model.apply(variables, feats.astype(jnp.float32),
+                               False, mask)
+
+        kw = dict(batch_size=4, buckets=(128, 300), max_frames=300)
+        f32 = extract_embeddings(embed_fn, utts.items(), **kw)
+        bf16 = extract_embeddings(embed_fn, utts.items(),
+                                  wire_dtype=ml_dtypes.bfloat16, **kw)
+        for utt in utts:
+            if exact:
+                np.testing.assert_array_equal(f32[utt], bf16[utt])
+            else:
+                np.testing.assert_allclose(f32[utt], bf16[utt],
+                                           rtol=2e-2, atol=2e-2)
+
+
 def test_speaker_means_not_renormalized():
     v1 = np.array([2.0, 0.0], np.float32)
     v2 = np.array([0.0, 3.0], np.float32)

@@ -149,6 +149,7 @@ def extract_dataset(
     raw: bool = False,
     progress_every: int = 2000,
     num_devices: int = 0,
+    wire: str = "float32",
 ) -> str:
     """Extract embeddings for every utterance in a data dir -> ark/scp.
     `raw` streams wav.scp with on-device FBANK instead of a feature scp.
@@ -196,7 +197,16 @@ def extract_dataset(
                 print(f"  extract: {i} utts")
             yield utt, feat
 
-    embeddings = extract_embeddings(fn, feature_stream(), batch_size=batch_size)
+    wire_dtype = None
+    if wire == "bfloat16":
+        # half the host->device feature bytes; bit-identical for
+        # bf16-compute models (see eval/extract.py:pack_chunk_batch)
+        import ml_dtypes
+
+        wire_dtype = ml_dtypes.bfloat16
+    embeddings = extract_embeddings(fn, feature_stream(),
+                                    batch_size=batch_size,
+                                    wire_dtype=wire_dtype)
 
     ark, out_scp = out_prefix + ".ark", out_prefix + ".scp"
     with kaldi_io.ArkScpWriter(ark, out_scp) as w:
@@ -222,6 +232,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stream wav.scp with on-device FBANK (no feature store)")
     p.add_argument("--num-devices", type=int, default=0,
                    help="devices to fan the batch over (0 = all local)")
+    p.add_argument("--wire", choices=("float32", "bfloat16"),
+                   default="float32",
+                   help="host->device feature wire format; bfloat16 halves "
+                        "the transfer (bit-identical for bf16-compute "
+                        "models, 8-mantissa-bit quantization otherwise)")
     return p
 
 
@@ -232,7 +247,7 @@ def main(argv=None) -> None:
         args.artifact, args.data_dir, args.out,
         scp_name=args.scp_name, batch_size=args.batch_size,
         cmn_window=args.cmn_window, raw=args.raw,
-        num_devices=args.num_devices,
+        num_devices=args.num_devices, wire=args.wire,
     )
     print(f"embeddings at {scp}")
 

@@ -116,6 +116,9 @@ def load_inference_artifact(artifact_dir: str, mesh=None):
     from ..training.speaker_net import SpeakerNet
 
     def apply(feats, mask):
+        # device-side upcast: accepts the bf16 wire format
+        # (eval/extract.py:pack_chunk_batch) as well as fp32
+        feats = feats.astype(jnp.float32)
         return net.apply(
             {"params": variables["params"], "batch_stats": variables["batch_stats"]},
             feats, mask, method=SpeakerNet.embed,

@@ -57,13 +57,20 @@ def select_bucket(buckets: Sequence[int], length: int,
     return buckets[bisect.bisect_left(buckets, min(length, max_frames))]
 
 
-def pack_chunk_batch(chunks, bucket: int, feat_dim: int):
+def pack_chunk_batch(chunks, bucket: int, feat_dim: int, wire_dtype=None):
     """Zero-pad chunk rows into one (B, bucket, F) feats + (B, bucket) mask
     pair.  `chunks` iterates (length, (length, F) feats); shared by offline
     extraction and the serving batcher so the masked-padding parity rule
-    lives in exactly one place."""
+    lives in exactly one place.
+
+    ``wire_dtype`` (e.g. ``ml_dtypes.bfloat16``) packs the feature buffer in
+    that dtype, halving the host->device transfer; the embed fns upcast to
+    fp32 on device (training/trainer.py:make_embed_fn, eval/export.py), so
+    for a bf16-compute model the bf16 wire is BIT-IDENTICAL to sending fp32
+    (the model's own entry cast rounds to bf16 either way); for an fp32
+    model it quantizes the input features to 8 mantissa bits."""
     chunks = list(chunks)
-    f = np.zeros((len(chunks), bucket, feat_dim), np.float32)
+    f = np.zeros((len(chunks), bucket, feat_dim), wire_dtype or np.float32)
     m = np.zeros((len(chunks), bucket), np.float32)
     for i, (length, feats) in enumerate(chunks):
         f[i, :length] = feats
@@ -78,12 +85,15 @@ def extract_embeddings(
     buckets: Sequence[int] = (256, 512, 1000),
     max_frames: int = MAX_FRAMES,
     min_frames: int = MIN_FRAMES,
+    wire_dtype=None,
 ) -> Dict[str, np.ndarray]:
     """Extract one embedding per utterance.
 
     embed_fn(feats (B, T, F), mask (B, T)) -> (B, D); jitted per bucket shape
     only (len(buckets) compiles total).
     features: iterable of (utt, (T, F) CMVN'd features).
+    wire_dtype: see pack_chunk_batch -- e.g. ml_dtypes.bfloat16 halves the
+    host->device feature transfer (exact for bf16-compute models).
     """
     buckets = sorted(set(list(buckets) + [max_frames]))
 
@@ -108,7 +118,7 @@ def extract_embeddings(
             return
         f, m = pack_chunk_batch(
             ((length, feats) for _, length, feats in batch),
-            bucket, batch[0][2].shape[1])
+            bucket, batch[0][2].shape[1], wire_dtype)
         inflight.append((embed_fn(f, m), batch))
         pending[bucket] = []
         drain(1)

@@ -8,7 +8,8 @@ plus ECAPA-TDNN (framework extension, arXiv:2005.07143).
 from __future__ import annotations
 
 from .tdnn import Tdnn, TDNN_VARIANTS, register_tdnn_variant, tdnn
-from .res2net import Res2Net, Res2NetConfig, RES2NET_CONFIGS, res2net
+from .res2net import (Res2Net, Res2NetConfig, RES2NET_CONFIGS,
+                      register_res2net_variant, res2net)
 from .dpn import Dpn, DpnConfig, DPN_CONFIGS, dpn
 from .ecapa import Ecapa, EcapaConfig, ECAPA_CONFIGS, ecapa
 

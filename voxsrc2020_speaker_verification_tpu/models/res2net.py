@@ -68,14 +68,12 @@ class Res2NetSplitConv(fnn.Module):
             # (res2net_model.py:62-65), so the s-1 convs are independent:
             # batch them as ONE grouped conv (feature_group_count = s-1) --
             # bit-identical math, one MXU dispatch instead of s-1.
-            dn = jax.lax.conv_dimension_numbers(
-                (x.shape[0], x.shape[1], x.shape[2], w),
-                kernel[..., :w].shape, ("NHWC", "HWIO", "NHWC"),
-            )
-            y = jax.lax.conv_general_dilated(
+            # ops.grouped_conv carries the GSPMD-safe kernel gradient
+            # (XLA mis-reduces feature-grouped kernel grads over unused
+            # mesh axes -- see its docstring).
+            y = ops.grouped_conv(
                 x[..., : w * (s - 1)], kernel,
-                window_strides=(self.strides, self.strides), padding=padding,
-                dimension_numbers=dn, feature_group_count=s - 1,
+                (self.strides, self.strides), padding, (1, 1), s - 1,
             )
             outputs = [bn_relu(y[..., i * w: (i + 1) * w], i) for i in range(s - 1)]
             outputs.append(ops.avg_pool_3x3(x[..., w * (s - 1):], self.strides))
@@ -263,6 +261,16 @@ RES2NET_CONFIGS = {
         name="res2net200_w24_s4_c32_att", num_filters=(32, 64, 128, 256),
         block_sizes=(3, 24, 36, 3), pool="att_stats"),
 }
+
+
+def register_res2net_variant(name: str, **kwargs) -> str:
+    """Register `name` -> Res2NetConfig(name=name, **kwargs) for
+    get_model()/tf_import.  The reference Model class is parameterized the
+    same way (ref res2net_model.py:139-167); used e.g. for the CPU-sized
+    cross-stack system-equivalence run where both stacks train a thin
+    instance of the identical architecture."""
+    RES2NET_CONFIGS[name] = Res2NetConfig(name=name, **kwargs)
+    return name
 
 
 def res2net(name: str, dtype=None, remat: bool = False,

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import contextlib
 import contextvars
+import functools
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -214,12 +215,107 @@ class BatchNorm(fnn.Module):
         )(x)
 
 
+def _nhwc_dn(x_shape, k_shape):
+    return jax.lax.conv_dimension_numbers(x_shape, k_shape,
+                                          ("NHWC", "HWIO", "NHWC"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def grouped_conv(x, kernel, strides, padding, dilation, groups):
+    """NHWC grouped conv (``feature_group_count=groups``) with a GSPMD-safe
+    backward.
+
+    XLA's SPMD partitioner mis-reduces the KERNEL gradient of a
+    feature-grouped conv when the (replicated) kernel lives on a mesh with
+    an axis the op does not use: the grad comes back multiplied by that
+    axis' size (measured on the 8-device CPU mesh, jax 0.8 era, both GSPMD
+    and Shardy; the input gradient and the forward are exact -- see
+    tests/test_sharding_parity.py::test_model4_att_pool_matches_model1,
+    which caught it).  Keep the fused grouped conv for the forward and the
+    input grad, and compute the kernel grad per group with
+    feature_group_count=1, which partitions correctly.
+    """
+    return jax.lax.conv_general_dilated(
+        x, kernel, strides, padding, rhs_dilation=dilation,
+        dimension_numbers=_nhwc_dn(x.shape, kernel.shape),
+        feature_group_count=groups)
+
+
+def _grouped_conv_fwd(x, kernel, strides, padding, dilation, groups):
+    return grouped_conv(x, kernel, strides, padding, dilation, groups), (x, kernel)
+
+
+def _grouped_conv_bwd(strides, padding, dilation, groups, res, ybar):
+    x, kernel = res
+
+    def fwd_x(a):
+        return jax.lax.conv_general_dilated(
+            a, kernel, strides, padding, rhs_dilation=dilation,
+            dimension_numbers=_nhwc_dn(a.shape, kernel.shape),
+            feature_group_count=groups)
+
+    _, vjp_x = jax.vjp(fwd_x, x)
+    dx, = vjp_x(ybar)
+
+    # dk per group with feature_group_count=1, vmapped over the group axis
+    # (one fused dispatch; measured exact under the mesh, and the Python-
+    # loop version cost dpn68 (cardinality 32) 16% step time).
+    b, h, w, _ = x.shape
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    oh, ow = ybar.shape[1], ybar.shape[2]
+    ci = x.shape[-1] // groups
+    co = kernel.shape[-1] // groups
+    xg = jnp.moveaxis(x.reshape(b, h, w, groups, ci), 3, 0)
+    yg = jnp.moveaxis(ybar.reshape(b, oh, ow, groups, co), 3, 0)
+    kg = jnp.moveaxis(kernel.reshape(kh, kw, ci, groups, co), 3, 0)
+
+    def one_group_dk(xg, kg, yg):
+        def fwd_k(kk):
+            return jax.lax.conv_general_dilated(
+                xg, kk, strides, padding, rhs_dilation=dilation,
+                dimension_numbers=_nhwc_dn(xg.shape, kk.shape))
+        return jax.vjp(fwd_k, kg)[1](yg)[0]
+
+    dk = jax.vmap(one_group_dk)(xg, kg, yg)         # (G, kh, kw, ci, co)
+    dk = jnp.moveaxis(dk, 0, 3).reshape(kh, kw, ci, groups * co)
+    return dx, dk
+
+
+grouped_conv.defvjp(_grouped_conv_fwd, _grouped_conv_bwd)
+
+
+class _GroupedConvKernel(fnn.Module):
+    """Kernel holder + grouped_conv call; named "conv" inside Conv2d so the
+    param path (<conv2d>/conv/kernel) matches fnn.Conv's for checkpoints."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int]
+    padding: Any
+    dilation: Tuple[int, int]
+    groups: int
+    dtype: Optional[Dtype] = None
+
+    @fnn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ci = x.shape[-1] // self.groups
+        kernel = self.param(
+            "kernel", conv_kernel_init,
+            (*self.kernel_size, ci, self.features), jnp.float32)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+        return grouped_conv(x, kernel, self.strides, self.padding,
+                            self.dilation, self.groups)
+
+
 class Conv2d(fnn.Module):
     """Bias-free NHWC conv with grouped-conv support (ref models.py:173-203).
 
     ``cardinality`` maps to XLA ``feature_group_count``; the kernel has shape
     [kh, kw, in_channels // cardinality, out_channels], identical to the
-    reference's TF layout, so checkpoints port one-to-one.
+    reference's TF layout, so checkpoints port one-to-one.  cardinality > 1
+    routes through :func:`grouped_conv` for its GSPMD-safe kernel gradient.
     """
 
     features: int
@@ -235,6 +331,14 @@ class Conv2d(fnn.Module):
         ks = (self.kernel_size,) * 2 if isinstance(self.kernel_size, int) else tuple(self.kernel_size)
         st = (self.strides,) * 2 if isinstance(self.strides, int) else tuple(self.strides)
         dl = (self.dilation,) * 2 if isinstance(self.dilation, int) else tuple(self.dilation)
+        if self.cardinality > 1:
+            pad = (self.padding if isinstance(self.padding, str)
+                   else tuple(map(tuple, self.padding)))
+            return _GroupedConvKernel(
+                features=self.features, kernel_size=ks, strides=st,
+                padding=pad, dilation=dl, groups=self.cardinality,
+                dtype=self.dtype, name="conv",
+            )(x)
         return fnn.Conv(
             features=self.features,
             kernel_size=ks,

@@ -224,6 +224,11 @@ def make_embed_fn(config: TrainConfig):
     net = build_speaker_net(config)
 
     def embed(params, batch_stats, feats, mask=None):
+        # Upcast on device: extraction may ship a bf16 wire format (half the
+        # host->device bytes, eval/extract.py:pack_chunk_batch); the model
+        # re-casts to its own compute dtype, so for bf16 models the wire
+        # dtype is numerically invisible.
+        feats = feats.astype(jnp.float32)
         return net.apply(
             {"params": params, "batch_stats": batch_stats},
             feats, mask, method=SpeakerNet.embed,
