@@ -17,9 +17,11 @@ the seed-0 run must not exceed the reference's own inter-seed distances
 cluster.  A systematic wiring error (wrong momentum decay, missing l2,
 misplaced clip) biases the WHOLE trajectory, not just the chaotic tail.
 
-Model: res2net50_w8_s6_c16 -- the north-star family's CPU-sized member,
-i.e. the chaotic class the LR/10 oracles cannot cover.  50 steps with
-epoch_size 2 cross every schedule regime incl. the x1/128 LMFT tail.
+Models: res2net50_w8_s6_c16 (the north-star family's CPU-sized member)
+and, since round 5, dpn68 -- the one remaining family whose dual-path
+BN/concat topology had no full-LR long-horizon check (VERDICT r4 weak #4).
+50 steps with epoch_size 2 cross every schedule regime incl. the x1/128
+LMFT tail.
 """
 
 import os
@@ -44,33 +46,34 @@ ORACLE = os.path.join(os.path.dirname(__file__), "ref_trainer_oracle.py")
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(REFERENCE), reason="reference repo not mounted")
 
-MODEL = "res2net50_w8_s6_c16"
 STEPS = 50
 SEEDS = (0, 1, 2)
+MODELS = ("res2net50_w8_s6_c16", "dpn68")
 BATCH, ACCUM, FEAT_DIM, T = 4, 2, 40, 32  # mirror ref_trainer_oracle
 
 
-@pytest.fixture(scope="module")
-def envelope(tmp_path_factory):
+@pytest.fixture(scope="module", params=MODELS)
+def envelope(request, tmp_path_factory):
     pytest.importorskip("tensorflow")
+    model = request.param
     outs = []
     env = dict(os.environ, TF_USE_LEGACY_KERAS="1",
                CUDA_VISIBLE_DEVICES="", JAX_PLATFORMS="cpu")
     d = tmp_path_factory.mktemp("envelope")
     for seed in SEEDS:
-        out = d / f"ref_{MODEL}_s{seed}.npz"
+        out = d / f"ref_{model}_s{seed}.npz"
         res = subprocess.run(
-            [sys.executable, ORACLE, str(out), MODEL, str(STEPS), str(seed),
+            [sys.executable, ORACLE, str(out), model, str(STEPS), str(seed),
              "full"],
             capture_output=True, text=True, env=env, timeout=3000,
         )
         if res.returncode != 0:
             # TF imported fine: a crashing oracle is a regression, not an
             # environment gap -- fail instead of skip (ADVICE r4).
-            pytest.fail(f"reference oracle (seed {seed}) crashed "
+            pytest.fail(f"reference oracle ({model} seed {seed}) crashed "
                         f"(rc={res.returncode}): {res.stderr[-800:]}")
         outs.append(np.load(out))
-    return outs
+    return model, outs
 
 
 def _ce(log):
@@ -80,7 +83,7 @@ def _ce(log):
 
 
 def test_full_lr_trajectory_inside_reference_envelope(envelope):
-    runs = envelope
+    model, runs = envelope
     ref_ce = [_ce(r["__log__"]) for r in runs]
 
     # data stream is seed-independent in the oracle (RandomState(11))
@@ -89,7 +92,7 @@ def test_full_lr_trajectory_inside_reference_envelope(envelope):
     np.testing.assert_array_equal(feats, runs[1]["__feats__"])
 
     config = TrainConfig(
-        model=MODEL, projection="sc_cm_linear", num_classes=11,
+        model=model, projection="sc_cm_linear", num_classes=11,
         dataset_length=16, feat_dim=FEAT_DIM, feat_length=T,
         batch_size=BATCH, num_accumulation_steps=ACCUM,
         base_lr=0.08 / 128 * BATCH * ACCUM,  # FULL recipe LR
@@ -98,7 +101,7 @@ def test_full_lr_trajectory_inside_reference_envelope(envelope):
     params, batch_stats = tf_import.import_reference_weights(
         {k[len("init/"):]: runs[0][k] for k in runs[0].files
          if k.startswith("init/")},
-        MODEL, projection_id="sc_cm_linear")
+        model, projection_id="sc_cm_linear")
     state = create_train_state(config, jax.random.PRNGKey(0))
     state = TrainState(
         step=state.step,
