@@ -92,6 +92,72 @@ class TestShardedClassifierParity:
                                        rtol=2e-4, atol=1e-5)
 
 
+class TestGroupedConvGspmdSafe:
+    """ops.grouped_conv: the custom-vjp workaround for XLA's SPMD
+    partitioner mis-reducing feature-grouped conv KERNEL gradients over
+    mesh axes the op does not use (PERF.md round 5).  Checks the op
+    directly: forward + both gradients equal the unrolled per-group
+    reference, on one device AND on a (2 data x 2 model) mesh with the
+    kernel replicated -- the configuration where the native op's dk comes
+    back exactly num_model x too large."""
+
+    def _data(self, groups=3, ci=4, co=5):
+        rng = np.random.RandomState(0)
+        x = rng.randn(4, 8, 8, groups * ci).astype(np.float32)
+        k = rng.randn(3, 3, ci, groups * co).astype(np.float32)
+        return x, k, groups, ci, co
+
+    @staticmethod
+    def _loss_ref(x, k, groups, strides=(2, 2)):
+        """Unrolled per-group convs -- the trivially correct formulation."""
+        import jax.numpy as jnp
+        from voxsrc2020_speaker_verification_tpu.ops.nn import _nhwc_dn
+        ci = x.shape[-1] // groups
+        co = k.shape[-1] // groups
+        outs = []
+        for g in range(groups):
+            xg = x[..., g * ci:(g + 1) * ci]
+            kg = k[..., g * co:(g + 1) * co]
+            outs.append(jax.lax.conv_general_dilated(
+                xg, kg, strides, "VALID",
+                dimension_numbers=_nhwc_dn(xg.shape, kg.shape)))
+        return jnp.sum(jnp.concatenate(outs, -1) ** 2)
+
+    @staticmethod
+    def _loss_ours(x, k, groups, strides=(2, 2)):
+        import jax.numpy as jnp
+        from voxsrc2020_speaker_verification_tpu.ops.nn import grouped_conv
+        return jnp.sum(grouped_conv(x, k, strides, "VALID", (1, 1),
+                                    groups) ** 2)
+
+    def test_matches_unrolled_single_device(self):
+        x, k, groups, _, _ = self._data()
+        ref = jax.jit(jax.value_and_grad(self._loss_ref, argnums=(0, 1)),
+                      static_argnums=2)(x, k, groups)
+        got = jax.jit(jax.value_and_grad(self._loss_ours, argnums=(0, 1)),
+                      static_argnums=2)(x, k, groups)
+        np.testing.assert_allclose(got[0], ref[0], rtol=1e-5)
+        for a, b in zip(got[1], ref[1]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_kernel_grad_exact_under_unused_mesh_axis(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x, k, groups, _, _ = self._data()
+        gold = jax.jit(jax.grad(self._loss_ours, argnums=1),
+                       static_argnums=2)(x, k, groups)
+        mesh = make_mesh(num_data=2, num_model=2, devices=jax.devices()[:4])
+        ds = NamedSharding(mesh, P("data"))
+        rs = NamedSharding(mesh, P())
+        got = jax.jit(jax.grad(self._loss_ours, argnums=1),
+                      static_argnums=2, in_shardings=(ds, rs))(
+            jax.device_put(x, ds), jax.device_put(k, rs), groups)
+        # the native fgc op returns exactly 2x here; ours must be exact
+        np.testing.assert_allclose(np.asarray(got), np.asarray(gold),
+                                   rtol=1e-4, atol=1e-4)
+
+
 class TestMetricsWriter:
     def test_roundtrip(self, tmp_path):
         from voxsrc2020_speaker_verification_tpu.utils.observability import (
