@@ -277,7 +277,38 @@ def main():
                     + LMFT_HOURS_REF
                     * (LMFT_BASELINE_AUDIO_S_PER_S / lm)), 3),
         } if lm is not None else {}))(lmft_audio_s_per_s),
+        **_cross_stack_summary(),
     }))
+
+
+def _cross_stack_summary():
+    """End-task equivalence from the latest cross_stack_r*.json artifact
+    (tests/test_cross_stack_*.py via scripts/cross_stack_report.py): the
+    max |EER_ours - EER_ref| over both model families and both scoring
+    backends -- chance is 50%, so a small delta means both complete stacks
+    agree on the end task."""
+    import glob
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "cross_stack_r*.json")))
+    if not paths:
+        return {}
+    data = json.load(open(paths[-1]))
+    deltas = [
+        abs(run[f"our_{kind}"][0] - run[f"ref_{kind}"][0])
+        for run in data.values() if run.get("status") == "ok"
+        for kind in ("cosine", "asnorm")
+    ]
+    if not deltas:
+        return {}
+    return {
+        "cross_stack_artifact": os.path.basename(paths[-1]),
+        "cross_stack_max_eer_delta_pct": round(max(deltas), 3),
+        "cross_stack_note": "max |EER ours - ref| across model families "
+                            "and scorings; both full stacks trained on one "
+                            "corpus (chance = 50%)",
+    }
 
 
 if __name__ == "__main__":

@@ -69,6 +69,20 @@ def test_served_embeddings_match_offline_extraction(artifact, service):
                                    err_msg=utt)
 
 
+def test_bf16_wire_service_matches_fp32(artifact, service):
+    """wire='bfloat16' (round 5) must agree with the fp32-wire service
+    within input-quantization noise (and exactly for bf16-compute models,
+    covered by tests/test_eval.py::test_bf16_wire_parity)."""
+    feats = _utts()
+    with EmbeddingService(artifact, batch_size=BATCH, max_wait_ms=5.0,
+                          wire="bfloat16") as bf:
+        for utt, f in feats.items():
+            got = bf.embed_features(f, cmvn=False, timeout=300)
+            want = service.embed_features(f, cmvn=False, timeout=300)
+            np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2,
+                                       err_msg=utt)
+
+
 def test_wave_requests_match_feature_requests(service):
     from voxsrc2020_speaker_verification_tpu.ops.cmvn import sliding_cmvn
     from voxsrc2020_speaker_verification_tpu.ops.fbank import (

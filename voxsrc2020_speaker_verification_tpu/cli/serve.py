@@ -252,6 +252,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-warmup", action="store_true",
                    help="skip compiling every bucket shape before announcing "
                         "readiness (first requests then pay the compiles)")
+    p.add_argument("--wire", choices=("float32", "bfloat16"),
+                   default="float32",
+                   help="host->device feature wire per flush; bfloat16 "
+                        "halves the transfer (bit-identical for "
+                        "bf16-compute models)")
     return p
 
 
@@ -260,7 +265,7 @@ def main(argv=None) -> None:
     server = make_server(
         args.artifact, args.host, args.port,
         batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
-        cmn_window=args.cmn_window)
+        cmn_window=args.cmn_window, wire=args.wire)
     host, port = server.server_address[:2]
     if not args.no_warmup:
         print("warming up (compiling bucket shapes)...", flush=True)

@@ -89,6 +89,7 @@ class EmbeddingService:
         max_wait_ms: float = 10.0,
         cmn_window: int = 300,
         request_timeout: float = 600.0,
+        wire: str = "float32",
     ):
         from .export import load_inference_artifact
         from .extract import make_bucketed_embed_fn
@@ -96,6 +97,15 @@ class EmbeddingService:
         self.config, embed = load_inference_artifact(artifact_dir)
         self.batch_size = batch_size or default_batch_size(self.config.model)
         self._embed = make_bucketed_embed_fn(embed, batch_size=self.batch_size)
+        self._wire_dtype = None
+        if wire == "bfloat16":
+            # half the host->device feature bytes per flush; bit-identical
+            # for bf16-compute models (eval/extract.py:pack_chunk_batch)
+            import ml_dtypes
+
+            self._wire_dtype = ml_dtypes.bfloat16
+        elif wire != "float32":
+            raise ValueError(f"wire must be float32|bfloat16, got {wire!r}")
         self.buckets = sorted(set(list(buckets) + [MAX_FRAMES]))
         self.max_wait = max_wait_ms / 1000.0
         self.cmn_window = cmn_window
@@ -316,7 +326,7 @@ class EmbeddingService:
         # (eval/extract.py:pack_chunk_batch -- one place owns the parity rule)
         f, m = pack_chunk_batch(
             ((length, chunk) for _, length, chunk, _ in batch),
-            bucket, self.config.feat_dim)
+            bucket, self.config.feat_dim, self._wire_dtype)
         emb = np.asarray(self._embed(f, m))
         self.num_flushes += 1
         for i, (req, length, _, _) in enumerate(batch):
