@@ -300,14 +300,19 @@ def _cross_stack_summary():
         for run in data.values() if run.get("status") == "ok"
         for kind in ("cosine", "asnorm")
     ]
+    not_ok = sorted(tag for tag, run in data.items()
+                    if run.get("status") != "ok")
     if not deltas:
-        return {}
+        return ({"cross_stack_artifact": os.path.basename(paths[-1]),
+                 "cross_stack_not_ok_families": not_ok} if not_ok else {})
     return {
         "cross_stack_artifact": os.path.basename(paths[-1]),
         "cross_stack_max_eer_delta_pct": round(max(deltas), 3),
         "cross_stack_note": "max |EER ours - ref| across model families "
                             "and scorings; both full stacks trained on one "
                             "corpus (chance = 50%)",
+        # never let a failed/skipped family hide behind the ok ones
+        **({"cross_stack_not_ok_families": not_ok} if not_ok else {}),
     }
 
 

@@ -53,11 +53,12 @@ def main():
     batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     num_utts = int(sys.argv[3]) if len(sys.argv) > 3 else 2000
     wire = sys.argv[4] if len(sys.argv) > 4 else "float32"
-    wire_dtype = None
-    if wire == "bfloat16":
-        import ml_dtypes
+    from voxsrc2020_speaker_verification_tpu.eval.extract import (
+        resolve_wire_dtype,
+    )
 
-        wire_dtype = ml_dtypes.bfloat16
+    wire_dtype = resolve_wire_dtype(wire)  # raises on typos: the printed
+    # `wire=` tag in the results line must never mislabel a measurement
 
     config = TrainConfig(model=model, feat_dim=80, bf16=True)
     net = build_speaker_net(config)

@@ -37,10 +37,16 @@ def main():
                 [sys.executable, "-m", "pytest", test, "-x", "-q"],
                 cwd=REPO, env=env, timeout=5400,
             )
-            if res.returncode != 0 or not os.path.exists(tmp):
-                merged[tag] = {"status": "FAILED", "returncode": res.returncode}
-                continue
-            merged[tag] = {"status": "ok", **json.load(open(tmp))}
+            if res.returncode != 0:
+                merged[tag] = {"status": "FAILED",
+                               "returncode": res.returncode}
+            elif not os.path.exists(tmp):
+                # pytest exited 0 without writing a summary: the gate was
+                # SKIPPED (no reference repo / no TF on this host) -- an
+                # environment gap, not a parity failure
+                merged[tag] = {"status": "skipped"}
+            else:
+                merged[tag] = {"status": "ok", **json.load(open(tmp))}
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=2)
         f.write("\n")

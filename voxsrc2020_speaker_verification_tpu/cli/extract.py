@@ -197,13 +197,9 @@ def extract_dataset(
                 print(f"  extract: {i} utts")
             yield utt, feat
 
-    wire_dtype = None
-    if wire == "bfloat16":
-        # half the host->device feature bytes; bit-identical for
-        # bf16-compute models (see eval/extract.py:pack_chunk_batch)
-        import ml_dtypes
+    from ..eval.extract import resolve_wire_dtype
 
-        wire_dtype = ml_dtypes.bfloat16
+    wire_dtype = resolve_wire_dtype(wire)
     embeddings = extract_embeddings(fn, feature_stream(),
                                     batch_size=batch_size,
                                     wire_dtype=wire_dtype)

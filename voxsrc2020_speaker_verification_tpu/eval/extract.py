@@ -29,6 +29,19 @@ MAX_FRAMES = 1000  # ref tf_extract.py:96
 MIN_FRAMES = 25    # ref tf_extract.py:101-102
 
 
+def resolve_wire_dtype(wire: str):
+    """Map a --wire flag value to the numpy dtype used for the host->device
+    feature buffers (pack_chunk_batch).  Raises on unknown values so a typo
+    can never silently fall back to the fp32 wire."""
+    if wire == "float32":
+        return None
+    if wire == "bfloat16":
+        import ml_dtypes
+
+        return ml_dtypes.bfloat16
+    raise ValueError(f"wire must be float32|bfloat16, got {wire!r}")
+
+
 def default_batch_size(model_name: str) -> int:
     """Measured-best extraction bucket batch per model class on v5e
     (PERF.md "Embedding extraction"): at B=64 each 1000-frame call on the

@@ -40,7 +40,7 @@ import numpy as np
 
 from .extract import (
     MAX_FRAMES, MIN_FRAMES, chunk_spans, default_batch_size,
-    pack_chunk_batch, select_bucket,
+    pack_chunk_batch, resolve_wire_dtype, select_bucket,
 )
 from .scoring import l2norm
 
@@ -97,15 +97,9 @@ class EmbeddingService:
         self.config, embed = load_inference_artifact(artifact_dir)
         self.batch_size = batch_size or default_batch_size(self.config.model)
         self._embed = make_bucketed_embed_fn(embed, batch_size=self.batch_size)
-        self._wire_dtype = None
-        if wire == "bfloat16":
-            # half the host->device feature bytes per flush; bit-identical
-            # for bf16-compute models (eval/extract.py:pack_chunk_batch)
-            import ml_dtypes
-
-            self._wire_dtype = ml_dtypes.bfloat16
-        elif wire != "float32":
-            raise ValueError(f"wire must be float32|bfloat16, got {wire!r}")
+        # bfloat16: half the host->device feature bytes per flush;
+        # bit-identical for bf16-compute models (eval/extract.py)
+        self._wire_dtype = resolve_wire_dtype(wire)
         self.buckets = sorted(set(list(buckets) + [MAX_FRAMES]))
         self.max_wait = max_wait_ms / 1000.0
         self.cmn_window = cmn_window

@@ -305,6 +305,13 @@ class _GroupedConvKernel(fnn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
+        else:
+            # mirror fnn.Conv's dtype promotion: conv_general_dilated
+            # requires matching operand dtypes (e.g. f64 or bf16 inputs
+            # against the fp32 kernel param)
+            common = jnp.promote_types(x.dtype, kernel.dtype)
+            x = x.astype(common)
+            kernel = kernel.astype(common)
         return grouped_conv(x, kernel, self.strides, self.padding,
                             self.dilation, self.groups)
 
