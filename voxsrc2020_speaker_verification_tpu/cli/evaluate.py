@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="where to write xvectors/scores (default: data dirs)")
     p.add_argument("--num-devices", type=int, default=0,
                    help="devices to fan extraction over (0 = all local)")
+    p.add_argument("--wire", choices=("float32", "bfloat16"),
+                   default="float32",
+                   help="host->device feature wire for extraction "
+                        "(cli.extract --wire)")
     return p
 
 
@@ -121,7 +125,8 @@ def main(argv=None) -> None:
             os.makedirs(os.path.dirname(prefix), exist_ok=True)
             scp = extract_dataset(artifact, data_dir, prefix,
                                   batch_size=args.batch_size,
-                                  num_devices=args.num_devices)
+                                  num_devices=args.num_devices,
+                                  wire=args.wire)
         return scp
 
     xvec = {u: l2norm(v) for u, v in
