@@ -90,6 +90,43 @@ def test_two_process_multidevice_model_sharded(tmp_path):
     assert line0.split("loss")[1].split()[0] == line1.split("loss")[1].split()[0]
 
 
+def test_two_process_model_sharded_res2net(tmp_path):
+    """Same process-boundary x model-axis topology as above but with a
+    RES2NET -- its stride-2 grouped split convs are the op class whose
+    kernel gradients XLA mis-reduced over the model axis until round 5
+    (ops/nn.py:grouped_conv); this pins the fix in the production
+    multi-process path, not just the single-process virtual mesh."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    proc = subprocess.run(
+        [
+            sys.executable, "-m",
+            "voxsrc2020_speaker_verification_tpu.cli.launch",
+            "--num-processes", "2",
+            "--coordinator", f"localhost:{_free_port()}",
+            "--",
+            "--recipe", "res2net_vox2_dev_aug",
+            "--model", "res2net50_w8_s6_c16", "--synthetic",
+            "--num-model-shards", "2",
+            "--max-steps", "2", "--log-every", "1", "--no-checkpoint",
+            "--batch-size", "8", "--num-accumulation-steps", "1",
+            "--feat-length", "32",
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "done: 2 steps" in proc.stdout
+    rank1 = (tmp_path / "launch_rank1.log").read_text()
+    assert "done: 2 steps" in rank1
+    line0 = [l for l in proc.stdout.splitlines() if l.startswith("step 2/2")][0]
+    line1 = [l for l in rank1.splitlines() if l.startswith("step 2/2")][0]
+    assert line0.split("loss")[1].split()[0] == line1.split("loss")[1].split()[0]
+
+
 def test_two_process_launch_raw(tmp_path):
     """Raw-audio mode across 2 processes: each rank feeds its strided
     wav.scp shard through the native raw feeder; the (waves, num_samples,
