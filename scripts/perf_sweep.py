@@ -2,7 +2,7 @@
 the att-pool flagships, and the LMFT shapes, across remat variants.
 
 Usage:
-  python scripts/perf_sweep.py [quick|full|att600|att152|w8f600|c64dpn]
+  python scripts/perf_sweep.py [quick|full|att600|att152|w8f600|w8f200|c64dpn]
   python scripts/perf_sweep.py --one <model> <bs> <accum> <frames> \
       <remat> <policy> <stages>        # single config (internal)
 
@@ -68,6 +68,20 @@ W8_F600_CONFIGS = [
     # worker at any stage set; 512x2 remat and 256x4 (0,1) OOM.
     ("res2net50_w8_s6_c16", 64, 16, 600, False, None, None),
     ("res2net50_w8_s6_c16", 128, 8, 600, True, None, (0,)),
+]
+
+# The w8 model's f200 PRETRAIN leg (the bench.py headline): 256x4 no-remat
+# is the round-1 shape (2313 audio-s/s) but the thin 8-channel split convs
+# starve the MXU at small microbatches -- a LARGER microbatch may win if it
+# fits.  f200's activation footprint is 1/3 of f600's, so 512x2 no-remat
+# (~2/3 of the bytes of the OOMing 256x4 f600) is plausible headroom that
+# was never measured.
+W8_F200_CONFIGS = [
+    ("res2net50_w8_s6_c16", 512, 2, 200, False, None, None),
+    ("res2net50_w8_s6_c16", 1024, 1, 200, False, None, None),
+    ("res2net50_w8_s6_c16", 512, 2, 200, True, None, (0, 1, 2)),
+    ("res2net50_w8_s6_c16", 1024, 1, 200, True, None, (0, 1, 2)),
+    ("res2net50_w8_s6_c16", 256, 4, 200, False, None, None),  # incumbent
 ]
 
 # Round-5 closure of the README-table shape inventory (VERDICT weak #2):
@@ -177,7 +191,8 @@ def main():
     suite = sys.argv[1] if len(sys.argv) > 1 else "quick"
     suites = {"quick": CONFIGS, "full": CONFIGS,
               "att600": ATT600_CONFIGS, "att152": ATT152_CONFIGS,
-              "w8f600": W8_F600_CONFIGS, "c64dpn": C64_DPN_CONFIGS}
+              "w8f600": W8_F600_CONFIGS, "w8f200": W8_F200_CONFIGS,
+              "c64dpn": C64_DPN_CONFIGS}
     if suite not in suites:
         sys.exit(f"unknown suite {suite!r}; one of {sorted(suites)}")
     configs = suites[suite]

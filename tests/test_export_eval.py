@@ -131,3 +131,29 @@ class TestExtractScoreCLI:
             "--topk", "3",
         ])
         assert "asnorm-top3: EER" in capsys.readouterr().out
+
+    @pytest.mark.parametrize("wire", ["float32", "bfloat16"])
+    def test_evaluate_cli_end_to_end(self, artifact, eval_data, tmp_path,
+                                     capsys, wire):
+        """cli.evaluate (the eval_inference_model.sh replacement) end to end:
+        extract through the requested wire + cosine/asnorm score + report.
+        --out-dir forces a fresh extraction so the bf16 wire leg actually
+        exercises the wire, rather than reusing test_extract's fp32 vecs."""
+        from voxsrc2020_speaker_verification_tpu.cli import evaluate
+        out, _ = artifact
+        evaluate.main([
+            "--artifact", out,
+            "--test-dir", eval_data,
+            "--trials", f"tiny={os.path.join(eval_data, 'trials')}",
+            "--cohort-weights", os.path.join(out, "projection_weight.pkl"),
+            "--out-dir", str(tmp_path / wire),
+            "--topk", "3", "--batch-size", "4",
+            "--wire", wire,
+        ])
+        line = capsys.readouterr().out
+        assert "[tiny] cosine: EER" in line and "asnorm: EER" in line
+        scps = list((tmp_path / wire).glob("xvector_*.scp"))
+        assert len(scps) == 1, scps
+        vecs = dict(kaldi_io.read_vec_flt_scp(str(scps[0])))
+        assert len(vecs) == 4 and all(np.isfinite(v).all()
+                                      for v in vecs.values())
