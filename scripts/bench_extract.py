@@ -10,8 +10,10 @@ batched forward + length-weighted chunk averaging -- over a synthetic corpus
 with a VoxCeleb1-like utterance-length distribution (log-normal, median
 ~8 s, clipped to [4 s, 60 s]; VoxCeleb1 mean is 8.25 s).
 
-Usage: python scripts/bench_extract.py [model] [batch_size] [num_utts] [wire]
-(wire: float32 | bfloat16 -- the host->device feature wire format)
+Usage: python scripts/bench_extract.py [model] [batch_size] [num_utts] [wire] [cmvn]
+(wire: float32 | bfloat16 -- the host->device feature wire format;
+ cmvn: device | host -- where sliding CMVN runs; "host" skips the CMVN
+ device round trip so features cross the link once, not three times)
 """
 
 import os
@@ -53,6 +55,8 @@ def main():
     batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     num_utts = int(sys.argv[3]) if len(sys.argv) > 3 else 2000
     wire = sys.argv[4] if len(sys.argv) > 4 else "float32"
+    cmvn = sys.argv[5] if len(sys.argv) > 5 else "device"
+    assert cmvn in ("device", "host"), cmvn
     from voxsrc2020_speaker_verification_tpu.eval.extract import (
         resolve_wire_dtype,
     )
@@ -76,9 +80,15 @@ def main():
 
     fn = make_bucketed_embed_fn(embed, batch_size=batch_size)
 
+    from voxsrc2020_speaker_verification_tpu.data.dataset import sliding_cmn_np
+
     def run(n, seed):
-        stream = cmvn_full_stream(synthetic_corpus(n, config.feat_dim, seed),
-                                  batch_size=max(8, batch_size // 4))
+        raw_stream = synthetic_corpus(n, config.feat_dim, seed)
+        if cmvn == "host":
+            stream = ((u, sliding_cmn_np(f)) for u, f in raw_stream)
+        else:
+            stream = cmvn_full_stream(raw_stream,
+                                      batch_size=max(8, batch_size // 4))
         total_frames = [0]
 
         def counted():
@@ -99,7 +109,7 @@ def main():
     run(min(400, num_utts), seed=123)
     audio_s, dt, n = run(num_utts, seed=0)
     print(f"# model={model} batch={batch_size} utts={n} wire={wire} "
-          f"audio={audio_s:.0f}s wall={dt:.1f}s")
+          f"cmvn={cmvn} audio={audio_s:.0f}s wall={dt:.1f}s")
     print(f"pipeline_audio_s_per_s={audio_s / dt:.0f}  "
           f"# includes host->device feature streaming (tunnel-bound on axon)")
 

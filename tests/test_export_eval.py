@@ -132,6 +132,25 @@ class TestExtractScoreCLI:
         ])
         assert "asnorm-top3: EER" in capsys.readouterr().out
 
+    def test_extract_host_cmvn_matches_device(self, artifact, eval_data,
+                                              tmp_path):
+        """--cmvn host (sliding_cmn_np on the host, one link crossing)
+        must produce the same embeddings as the default device CMVN path
+        (cmvn_full_stream round trip)."""
+        from voxsrc2020_speaker_verification_tpu.cli import extract
+        out, _ = artifact
+        prefixes = {}
+        for mode in ("device", "host"):
+            prefixes[mode] = str(tmp_path / f"xv_{mode}")
+            extract.main(["--artifact", out, "--data-dir", eval_data,
+                          "--out", prefixes[mode], "--batch-size", "4",
+                          "--cmvn", mode])
+        dev = dict(kaldi_io.read_vec_flt_scp(prefixes["device"] + ".scp"))
+        host = dict(kaldi_io.read_vec_flt_scp(prefixes["host"] + ".scp"))
+        assert dev.keys() == host.keys() and len(dev) == 4
+        for u in dev:
+            np.testing.assert_allclose(host[u], dev[u], atol=1e-4)
+
     @pytest.mark.parametrize("wire", ["float32", "bfloat16"])
     def test_evaluate_cli_end_to_end(self, artifact, eval_data, tmp_path,
                                      capsys, wire):

@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="float32",
                    help="host->device feature wire for extraction "
                         "(cli.extract --wire)")
+    p.add_argument("--cmvn", choices=("device", "host"), default="host",
+                   help="where extraction's sliding CMVN runs "
+                        "(cli.extract --cmvn; host = 4.0x measured "
+                        "pipeline throughput, PERF.md)")
     return p
 
 
@@ -126,7 +130,7 @@ def main(argv=None) -> None:
             scp = extract_dataset(artifact, data_dir, prefix,
                                   batch_size=args.batch_size,
                                   num_devices=args.num_devices,
-                                  wire=args.wire)
+                                  wire=args.wire, cmvn=args.cmvn)
         return scp
 
     xvec = {u: l2norm(v) for u, v in

@@ -150,12 +150,23 @@ def extract_dataset(
     progress_every: int = 2000,
     num_devices: int = 0,
     wire: str = "float32",
+    cmvn: str = "host",
 ) -> str:
     """Extract embeddings for every utterance in a data dir -> ark/scp.
     `raw` streams wav.scp with on-device FBANK instead of a feature scp.
     `num_devices` > 1 fans the batch axis out over a device mesh (GSPMD
     data parallelism, the reference's 8-GPU extraction fan-out
     eval_inference_model.sh:27-40); 0 = all local devices.
+    `cmvn` picks where sliding CMVN runs: "host" (default --
+    `data.dataset.sliding_cmn_np`, the same numerics the production
+    training feeder uses, parity-asserted in tests/test_data.py and
+    vs the device path in tests/test_export_eval.py) or "device"
+    (bucketed batches).  Host CMVN means the feature bytes cross the
+    host<->device link ONCE instead of three times (h2d + d2h for the
+    CMVN round trip, then h2d again for the forward) and removes the
+    per-batch CMVN sync point: measured 4.0x pipeline extraction
+    throughput on the transfer-bound v5e tunnel (PERF.md), at a trivial
+    host-CPU cost (a float64 cumsum per utterance).
     Returns the scp path."""
     import jax
 
@@ -189,7 +200,15 @@ def extract_dataset(
     else:
         scp = os.path.join(data_dir, scp_name or f"fbank{config.feat_dim}.scp")
         stream = kaldi_io.read_mat_scp(scp)
-    stream = cmvn_full_stream(stream, window=cmn_window)
+    if cmvn == "host":
+        from ..data.dataset import sliding_cmn_np
+
+        stream = ((utt, sliding_cmn_np(feat, cmn_window))
+                  for utt, feat in stream)
+    elif cmvn == "device":
+        stream = cmvn_full_stream(stream, window=cmn_window)
+    else:
+        raise ValueError(f"cmvn must be device|host, got {cmvn!r}")
 
     def feature_stream():
         for i, (utt, feat) in enumerate(stream):
@@ -233,6 +252,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="host->device feature wire format; bfloat16 halves "
                         "the transfer (bit-identical for bf16-compute "
                         "models, 8-mantissa-bit quantization otherwise)")
+    p.add_argument("--cmvn", choices=("device", "host"), default="host",
+                   help="where sliding CMVN runs; 'host' (default) avoids "
+                        "the CMVN device round trip (features cross the "
+                        "link once, not three times; 4.0x measured pipeline "
+                        "throughput, PERF.md) at a small host-CPU cost")
     return p
 
 
@@ -243,7 +267,7 @@ def main(argv=None) -> None:
         args.artifact, args.data_dir, args.out,
         scp_name=args.scp_name, batch_size=args.batch_size,
         cmn_window=args.cmn_window, raw=args.raw,
-        num_devices=args.num_devices, wire=args.wire,
+        num_devices=args.num_devices, wire=args.wire, cmvn=args.cmvn,
     )
     print(f"embeddings at {scp}")
 
