@@ -126,8 +126,8 @@ class EmbeddingService:
         self._stop = False
         self.num_requests = 0
         self.num_flushes = 0
-        self._cmvn_fn = None   # lazily-built jitted kernels (front-end work
-        self._fbank_fn = None  # runs in caller threads; benign double-build)
+        self._fbank_fn = None  # lazily-built jitted FBANK kernel (runs in
+        # caller threads; benign double-build).  CMVN is host-side numpy.
         self._thread = threading.Thread(
             target=self._batcher, name="embed-batcher", daemon=True)
         self._thread.start()
@@ -179,8 +179,8 @@ class EmbeddingService:
     def warmup(self, timeout: Optional[float] = None) -> None:
         """Compile every serving shape up front: one embed per length
         bucket (model forward at the padded batch -- partial batches pad to
-        this same shape, so it is the only one), every CMVN length bucket,
-        and every wave FBANK bucket.  Afterwards NO request within the
+        this same shape, so it is the only one) and every wave FBANK
+        bucket (CMVN is host-side, nothing to compile).  Afterwards NO request within the
         serving caps can trigger an XLA compile; without it the first
         request per shape pays a compile that can exceed a minute for the
         large models."""
@@ -190,8 +190,6 @@ class EmbeddingService:
                 for b in self.buckets]
         for r in reqs:
             r.result(self.request_timeout if timeout is None else timeout)
-        for b in _CMVN_BUCKETS:
-            self._cmvn(np.zeros((b, self.config.feat_dim), np.float32))
         for s in _WAVE_BUCKET_SECONDS:
             self._fbank(np.zeros(s * 16000, np.float32))
 
@@ -236,28 +234,22 @@ class EmbeddingService:
     # ------------------------------------------------------------------
 
     def _cmvn(self, feats: np.ndarray) -> np.ndarray:
-        """Full-utterance sliding CMVN, padded to a FIXED length-bucket set
-        (mirrors cli/extract.py:cmvn_full_stream at batch 1); jax.jit then
-        compiles once per bucket shape, so total compiles are bounded."""
-        import functools
-
-        import jax
-
-        from ..ops.cmvn import sliding_cmvn
+        """Full-utterance sliding CMVN on the HOST (the training feeder's
+        `sliding_cmn_np`, Kaldi-exact).  A device round trip here would
+        push the request's feature bytes over the link three times and add
+        a blocking dispatch to every request; the host cumsum is trivial
+        and removes the CMVN compile buckets entirely (round 5; same
+        change measured 4.0x on the offline extraction pipeline, PERF.md).
+        The serving cap stays: it bounds per-request memory and keeps the
+        documented chunk-it-client-side contract."""
+        from ..data.dataset import sliding_cmn_np
 
         t = len(feats)
-        bucket = next((b for b in _CMVN_BUCKETS if t <= b), None)
-        if bucket is None:
+        if t > _CMVN_BUCKETS[-1]:
             raise ValueError(
                 f"utterance of {t} frames exceeds the serving cap "
                 f"({_CMVN_BUCKETS[-1]} frames); chunk it client-side")
-        if self._cmvn_fn is None:
-            self._cmvn_fn = jax.jit(functools.partial(
-                sliding_cmvn, window=self.cmn_window, center=True))
-        f = np.zeros((1, bucket, feats.shape[1]), np.float32)
-        f[0, :t] = feats
-        out = np.asarray(self._cmvn_fn(f, np.asarray([t], np.int32)))
-        return out[0, :t]
+        return sliding_cmn_np(feats, self.cmn_window)
 
     def _fbank(self, wave: np.ndarray) -> np.ndarray:
         import jax
