@@ -243,5 +243,10 @@ def _run_sixteen_speakers(tmp_path, tiny_res2net, num_devices):
                        topk=min(400, len(cohort)))
     eer2, _ = evaluate_trials(trials, s2)
     assert eer2 < 5.0, f"asnorm EER {eer2}% (cosine {eer}%)"
-    assert eer2 <= eer + 1.0, (
+    # no-degradation margin: at 96 positive trials one flipped trial moves
+    # EER by 1/96 ~= 1.04%, and the native feeder's batch composition is
+    # thread-timing-dependent, so the trained model (and thus which single
+    # borderline trial flips) varies run to run -- the margin must exceed
+    # one quantum or the gate flakes at exactly +1.042% (observed)
+    assert eer2 <= eer + 2.5, (
         f"asnorm degraded a correct cosine score: {eer2}% vs {eer}%")
